@@ -1,0 +1,123 @@
+"""Runtime configuration for the TPU ray tracer.
+
+Every compile-time knob of the reference (cpu/include/options.h:1-74 and
+gpu/include/options.cuh) becomes a runtime field here, so a single build
+serves every workload variation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional, Tuple
+
+# cpu/src/main.c:105-106: cam at (0,-9,3), fov pi/3.2, rot.x = -pi/12.
+DEFAULT_CAM_POS = (0.0, -9.0, 3.0)
+DEFAULT_CAM_ROT = (-math.pi / 12.0, 0.0, 0.0)
+DEFAULT_CAM_FOV = math.pi / 3.2
+
+# Resolution presets mirroring the reference table (cpu/include/options.h:8-20).
+RESOLUTIONS = {
+    "32p": (64, 32),
+    "144p": (256, 144),
+    "240p": (426, 240),
+    "360p": (640, 360),
+    "480p": (854, 480),
+    "720p": (1280, 720),
+    "1080p": (1920, 1080),
+    "2k": (2560, 1440),
+    "4k": (3840, 2160),
+    "8k": (7680, 4320),
+}
+
+SCENES = ("car_only", "car_boxed", "dragon", "sportscar", "two_cars")
+
+# Default asset search path: repo-local assets first, then the read-only
+# reference mirror (assets are plain OBJ/MTL data, not code).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_ASSET_ROOTS = (
+    os.path.join(_REPO_ROOT, "assets"),
+    "/root/reference/assets",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All reference knobs, runtime-selectable.
+
+    Reference citations: WIDTH/HEIGHT (cpu/include/options.h:6-7), USE_BVH
+    (:22), BVH_HEURISTIC (:34), SCENE (:40), TILE_SIZE (:49), BOUNCES (:52),
+    ITERATIONS (:55), BVH_ELEMENT_THRESHOLD (:58), SAH_BIN_SIZE (:61),
+    BVH_MAX_ITER (:64), SEED (:67), BVH_METRICS (:73), USE_BVH_FAST_LIGHT (:74).
+    """
+
+    width: int = 1920
+    height: int = 1080
+    scene: str = "car_boxed"
+
+    use_bvh: bool = True
+    # 0: axis 0 midpoint, 1: largest-axis midpoint, 2: random-axis midpoint,
+    # 3: random pos on random axis, 4: median on largest axis,
+    # 5: median on best-SAH axis, 6: binned SAH sweep  (cpu/src/bvh.c:115-242)
+    bvh_heuristic: int = 3
+    bvh_max_depth: int = 32          # BVH_MAX_ITER
+    leaf_threshold: int = 2          # BVH_ELEMENT_THRESHOLD
+    sah_bins: int = 32               # SAH_BIN_SIZE; -1 = brute-force sweep
+    seed: int = 1                    # 0 = time-based, else fixed (options.h:66-71)
+    bvh_metrics: bool = True
+    fast_light: bool = True          # USE_BVH_FAST_LIGHT: any-hit shadow traversal
+
+    bounces: int = 4
+    iterations: int = 1
+    warmup: int = 0                  # GPU harness uses 50 (gpu/include/options.cuh:25)
+
+    # Ray-tile shape for the Pallas kernel — the analog of the CUDA (tx, ty)
+    # block-shape sweep (gpu/src/gpu.cu:98-100). Lanes must be 128-aligned.
+    tile_rows: int = 8
+    tile_cols: int = 128
+
+    # Kernel variant ladder, mirroring the reference's naive → fast_idx →
+    # float_align_compression → fuse benchmark story (gpu/*.bat):
+    #   "bruteforce": pure-JAX all-triangles oracle (USE_BVH=0 analog)
+    #   "jax": batched lax.while_loop BVH traversal (correct, portable)
+    #   "pallas": packet-traversal Pallas kernel (production path)
+    variant: str = "pallas"
+    # bf16 AABB compression in the traversal kernel — the hbvh_t analog
+    # (gpu/include/bvh.cuh:14-28), with conservative rounding (min down/max up)
+    # instead of the reference's round-to-nearest.
+    bf16_bvh: bool = False
+
+    # Ambient light (cpu/src/main.c:36).
+    ambient: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+
+    # Camera defaults (cpu/src/main.c:105-107).
+    cam_pos: Tuple[float, float, float] = DEFAULT_CAM_POS
+    cam_rot: Tuple[float, float, float] = DEFAULT_CAM_ROT
+    cam_fov: float = DEFAULT_CAM_FOV
+
+    # Synthetic scene mode: if >0, generate this many random triangles and no
+    # lights (cpu/src/main.c:115-131).
+    synthetic_triangles: int = 0
+
+    asset_root: Optional[str] = None
+
+    # Multi-device: number of mesh devices for image-tile sharding (1 = off).
+    num_devices: int = 1
+
+    def resolution(self) -> Tuple[int, int]:
+        return (self.width, self.height)
+
+    def with_resolution(self, name: str) -> "RenderConfig":
+        w, h = RESOLUTIONS[name]
+        return dataclasses.replace(self, width=w, height=h)
+
+    def asset_dir(self) -> str:
+        roots = (self.asset_root,) if self.asset_root else DEFAULT_ASSET_ROOTS
+        for root in roots:
+            path = os.path.join(root, self.scene)
+            if os.path.isdir(path):
+                return path
+        raise FileNotFoundError(
+            f"scene '{self.scene}' not found under any of {roots}"
+        )

@@ -1,0 +1,132 @@
+"""Batched intersection primitives: Möller–Trumbore, AABB slab, ray-sphere.
+
+Semantics match the reference exactly so that brute-force renders are
+bit-comparable oracles:
+  - hit_triangle (cpu/src/raytracer.c:35-59, gpu/src/raytracer.cu:23-47):
+    EPSILON=1e-3, det = -dot(dir, n), norm_dir = det < 0, miss -> FLT_MAX.
+  - aabb_intersect (cpu/src/bvh.c:48-59): slab test returning tmin or FLT_MAX.
+  - Ray-sphere is a capability named by the north star; the reference's
+    sphere support is vestigial (assets/car_only/spheres.obj is empty), so the
+    quadratic form here is the canonical one.
+
+All functions broadcast: rays and primitives may carry any leading shapes as
+long as they broadcast against each other (e.g. rays (R,1) vs triangles (T,)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .vecmath import Vec3
+
+EPSILON = 1e-3
+T_MAX = jnp.float32(3.4028235e38)  # FLT_MAX, the reference miss sentinel
+
+
+class TriHit(NamedTuple):
+    t: jax.Array          # distance in units of |dir|; T_MAX on miss
+    norm_dir: jax.Array   # bool: det < 0 (selects the -n normal)
+    u: jax.Array          # barycentric u (valid only when t < T_MAX)
+    v: jax.Array          # barycentric v
+
+
+def moller_trumbore(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3) -> TriHit:
+    """Batched Möller–Trumbore (cpu/src/raytracer.c:35-59)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = e1.cross(e2)
+    det = -(d.dot(n))
+    norm_dir = det < 0.0
+
+    # C computes invdet even for tiny det; the miss test gates the result.
+    invdet = 1.0 / det
+    ao = o - v0
+    dao = ao.cross(d)
+
+    u = e2.dot(dao) * invdet
+    v = -(e1.dot(dao)) * invdet
+    t = ao.dot(n) * invdet
+
+    hit = (
+        (jnp.abs(det) >= EPSILON)
+        & (t > EPSILON)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & ((u + v) <= 1.0)
+    )
+    t = jnp.where(hit, t, T_MAX)
+    return TriHit(t=t, norm_dir=norm_dir, u=u, v=v)
+
+
+def moller_trumbore_t(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
+    """Differentiable (t, u, v) of the *known-hit* triangle.
+
+    Used by the backward path: traversal finds the hit topology; this
+    recomputes the distance analytically so grads flow to vertices. No hit
+    gating (the caller guarantees a valid hit), keeping the function smooth.
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = e1.cross(e2)
+    det = -(d.dot(n))
+    invdet = 1.0 / det
+    ao = o - v0
+    dao = ao.cross(d)
+    u = e2.dot(dao) * invdet
+    v = -(e1.dot(dao)) * invdet
+    t = ao.dot(n) * invdet
+    return t, u, v
+
+
+def aabb_intersect(
+    bb_min: Vec3, bb_max: Vec3, o: Vec3, inv_d: Vec3
+) -> jax.Array:
+    """Slab test returning entry distance tmin, or T_MAX on miss
+    (cpu/src/bvh.c:48-59). Uses fmin/fmax (NaN-ignoring) to match C99
+    fminf/fmaxf when a ray axis-parallel to a slab originates on it.
+
+    Takes the precomputed reciprocal direction: the reference divides per
+    node (6 divides); one reciprocal per ray amortizes across the traversal.
+    """
+    tx1 = (bb_min.x - o.x) * inv_d.x
+    tx2 = (bb_max.x - o.x) * inv_d.x
+    tmin = jnp.fmin(tx1, tx2)
+    tmax = jnp.fmax(tx1, tx2)
+    ty1 = (bb_min.y - o.y) * inv_d.y
+    ty2 = (bb_max.y - o.y) * inv_d.y
+    tmin = jnp.fmax(tmin, jnp.fmin(ty1, ty2))
+    tmax = jnp.fmin(tmax, jnp.fmax(ty1, ty2))
+    tz1 = (bb_min.z - o.z) * inv_d.z
+    tz2 = (bb_max.z - o.z) * inv_d.z
+    tmin = jnp.fmax(tmin, jnp.fmin(tz1, tz2))
+    tmax = jnp.fmin(tmax, jnp.fmax(tz1, tz2))
+    hit = (tmax >= tmin) & (tmax > 0.0)
+    return jnp.where(hit, tmin, T_MAX)
+
+
+class SphereHit(NamedTuple):
+    t: jax.Array
+    inside: jax.Array  # bool: origin inside the sphere (normal flips)
+
+
+def ray_sphere(o: Vec3, d: Vec3, center: Vec3, radius) -> SphereHit:
+    """Batched ray-sphere intersection (north-star capability).
+
+    Solves |o + t*d - c|^2 = r^2; returns the nearest t > EPSILON in units of
+    |d| (consistent with the triangle convention), T_MAX on miss.
+    """
+    oc = o - center
+    a = d.dot(d)
+    half_b = oc.dot(d)
+    c = oc.dot(oc) - radius * radius
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-half_b - sq) / a
+    t1 = (-half_b + sq) / a
+    t = jnp.where(t0 > EPSILON, t0, t1)
+    hit = (disc >= 0.0) & (t > EPSILON)
+    inside = c < 0.0
+    return SphereHit(t=jnp.where(hit, t, T_MAX), inside=inside)

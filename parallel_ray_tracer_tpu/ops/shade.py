@@ -1,0 +1,144 @@
+"""Shading + fixed-trip bounce loop (the whole-ray engine).
+
+TPU-native formulation of the reference GPU's iterative raytrace
+(gpu/src/raytracer.cu:61-116), which is the canonical one (SURVEY.md §2/quirks):
+recursion becomes a fixed `bounces`-trip loop carrying (origin, dir,
+multiplier, final_color), early exits become lane masks. This shape is both
+XLA-friendly (static trip count, no data-dependent control flow) and
+reverse-mode-AD-friendly.
+
+Semantics replicated exactly:
+  - Blinn-Phong *without* shininess exponent: kd*max(0,n·l) + ks*max(0,n·h)
+    (cpu/src/raytracer.c:21-33). NOTE the reference quirk: the view vector in
+    the half-vector is the *unnormalized* -dir — replicated for parity.
+  - ambient term kd*amb on hit, plain amb on miss (cpu/src/raytracer.c:132-146).
+  - per-light: 1/r^2 falloff, backface check dot(L-P, n) < 0 -> shadowed,
+    occlusion via any-hit (cpu/src/raytracer.c:62-98, :149-160).
+  - reflection r = normalize(dir + n*2|dir·n|), multiplier *= kr, early break
+    when |multiplier|^2 < EPSILON^2 *before* the kr update
+    (gpu/src/raytracer.cu:101-115).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import EPSILON, T_MAX
+from .trace_brute import Hit
+from .vecmath import Vec3
+
+ClosestFn = Callable[[Vec3, Vec3], Hit]
+OccludedFn = Callable[[Vec3, Vec3, jax.Array], jax.Array]
+
+
+def _gather_vec(v: Vec3, idx: jax.Array) -> Vec3:
+    return Vec3(v.x[idx], v.y[idx], v.z[idx])
+
+
+def _bcast_scalar_vec(v: Vec3, i: int, like: jax.Array) -> Vec3:
+    return Vec3(
+        jnp.broadcast_to(v.x[i], like.shape),
+        jnp.broadcast_to(v.y[i], like.shape),
+        jnp.broadcast_to(v.z[i], like.shape),
+    )
+
+
+def shade_hit(
+    ds,
+    occluded_fn: OccludedFn,
+    o: Vec3,
+    d: Vec3,
+    hit: Hit,
+) -> Vec3:
+    """Direct lighting at the hit points (no reflection term).
+
+    Returns the reference's per-bounce `col`: kd*amb + sum over lights.
+    Values on miss lanes are garbage; callers mask.
+    """
+    safe_idx = jnp.maximum(hit.idx, 0)
+    t_safe = jnp.where(hit.idx >= 0, hit.t, 1.0)
+
+    p = o + d * t_safe
+    n = _gather_vec(ds.n0, safe_idx)
+    n = (-n).where(hit.norm_dir, n)
+    mi = ds.mat_idx[safe_idx]
+    kd = _gather_vec(ds.kd, mi)
+    ks = _gather_vec(ds.ks, mi)
+
+    col = kd * ds.ambient
+    view = -d  # unnormalized, as in the reference (cpu/src/raytracer.c:148)
+
+    for i in range(ds.num_lights):
+        lp = _bcast_scalar_vec(ds.lights_pos, i, p.x)
+        kl = _bcast_scalar_vec(ds.lights_kl, i, p.x)
+        lvec = lp - p
+        mag = lvec.mag()
+        l = lvec / mag
+        mag2 = mag * mag
+        n_dot_l = n.dot(l)
+        h = (l + view).normalized()
+        coeff = jnp.maximum(0.0, n.dot(h))
+        col_ray = kd * jnp.maximum(0.0, n_dot_l) + ks * coeff
+        backface = lvec.dot(n) < 0.0            # cpu/src/raytracer.c:66-67
+        occ = occluded_fn(p, l, mag2)
+        vis = jnp.logical_not(backface | occ)
+        contrib = kl * col_ray / mag2
+        zero = Vec3(col.x * 0, col.y * 0, col.z * 0)
+        col = col + contrib.where(vis, zero)
+
+    return col
+
+
+def trace_rays(
+    ds,
+    closest_fn: ClosestFn,
+    occluded_fn: OccludedFn,
+    o: Vec3,
+    d: Vec3,
+    bounces: int,
+) -> Vec3:
+    """Full masked bounce loop; returns unclamped color per ray."""
+    zero = Vec3(o.x * 0, o.y * 0, o.z * 0)
+    final = zero
+    mult = Vec3(o.x * 0 + 1, o.y * 0 + 1, o.z * 0 + 1)
+    alive = jnp.ones(o.x.shape, bool)
+
+    for _ in range(bounces):
+        hit = closest_fn(o, d)
+        is_hit = hit.idx >= 0
+
+        # Miss: add multiplier * ambient, lane dies (raytracer.cu:71-74).
+        miss_now = alive & jnp.logical_not(is_hit)
+        amb = Vec3(
+            jnp.broadcast_to(ds.ambient.x, o.x.shape),
+            jnp.broadcast_to(ds.ambient.y, o.x.shape),
+            jnp.broadcast_to(ds.ambient.z, o.x.shape),
+        )
+        final = final + (mult * amb).where(miss_now, zero)
+        alive = alive & is_hit
+
+        col = shade_hit(ds, occluded_fn, o, d, hit)
+        final = final + (mult * col).where(alive, zero)
+
+        # Early exit check happens BEFORE the kr update (raytracer.cu:103-106).
+        alive = alive & (mult.mag2() >= EPSILON * EPSILON)
+
+        safe_idx = jnp.maximum(hit.idx, 0)
+        mi = ds.mat_idx[safe_idx]
+        kr = _gather_vec(ds.kr, mi)
+        mult = mult * kr
+
+        # Reflection ray (raytracer.cu:109-114).
+        t_safe = jnp.where(is_hit, hit.t, 1.0)
+        p = o + d * t_safe
+        n = _gather_vec(ds.n0, safe_idx)
+        n = (-n).where(hit.norm_dir, n)
+        refl = d + n * (2.0 * jnp.abs(d.dot(n)))
+        rmag = refl.mag()
+        d = refl / jnp.maximum(rmag, 1e-30)
+        o = p
+
+    return final

@@ -1,0 +1,82 @@
+"""Test harness: hermetic CPU backend with 8 virtual devices.
+
+Mesh/sharding logic is validated on a virtual device mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count) per SURVEY.md §4(e);
+the real-TPU path is exercised by bench.py and the driver's compile checks.
+"""
+
+import os
+
+# The container preimports jax with JAX_PLATFORMS=axon (real TPU through a
+# tunnel); plain env vars are therefore ignored. Force the CPU backend via the
+# config API (backends are initialized lazily, so this works as long as no
+# computation ran yet) and XLA_FLAGS before first use.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ASSETS = "/root/reference/assets"
+
+
+def have_scene(name: str) -> bool:
+    import os.path
+
+    return os.path.isfile(
+        os.path.join(REFERENCE_ASSETS, name, "triangles.obj")
+    )
+
+
+@pytest.fixture(scope="session")
+def car_only_scene():
+    if not have_scene("car_only"):
+        pytest.skip("car_only assets unavailable")
+    from parallel_ray_tracer_tpu.models.scene import load_scene
+
+    return load_scene(os.path.join(REFERENCE_ASSETS, "car_only"))
+
+
+@pytest.fixture(scope="session")
+def tiny_scene():
+    """A handful of triangles + 1 light, deterministic, fully visible."""
+    from parallel_ray_tracer_tpu.models.scene import Scene
+
+    verts = np.array(
+        [
+            # floor quad (z=0)
+            [-5, -5, 0], [5, -5, 0], [5, 5, 0], [-5, 5, 0],
+            # a raised triangle
+            [-1, 0, 1], [1, 0, 1], [0, 0, 2.5],
+            # an occluder above
+            [-0.8, -0.5, 3.0], [0.8, -0.5, 3.0], [0.0, 0.7, 3.2],
+        ],
+        dtype=np.float32,
+    )
+    faces = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.int32
+    )
+    mat_idx = np.array([0, 0, 1, 2], dtype=np.int32)
+    return Scene(
+        verts=verts,
+        faces=faces,
+        mat_idx=mat_idx,
+        mats_kd=np.array(
+            [[0.8, 0.8, 0.8], [0.7, 0.1, 0.1], [0.1, 0.2, 0.7]], np.float32
+        ),
+        mats_ks=np.array(
+            [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.3, 0.3, 0.3]], np.float32
+        ),
+        mats_kr=np.array(
+            [[0.2, 0.2, 0.2], [0.0, 0.0, 0.0], [0.4, 0.4, 0.4]], np.float32
+        ),
+        lights_pos=np.array([[0.0, -6.0, 6.0]], np.float32),
+        lights_kl=np.array([[30.0, 30.0, 30.0]], np.float32),
+    )
