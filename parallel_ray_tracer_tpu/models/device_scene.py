@@ -63,6 +63,7 @@ def build_device_scene(
     ambient=(0.5, 0.5, 0.5),
     perm: Optional[np.ndarray] = None,
     pad_to: Optional[int] = None,
+    slot_map: Optional[np.ndarray] = None,
 ) -> DeviceScene:
     """Assemble the device pytree from a vertex buffer + topology.
 
@@ -70,11 +71,22 @@ def build_device_scene(
     from it inside the trace. `perm` reorders triangles (BVH leaf order) and
     `pad_to` appends degenerate all-zero triangles (det=0 -> guaranteed miss
     in moller_trumbore) so array sizes hit TPU-friendly multiples.
+
+    `slot_map` (exclusive with perm/pad_to) is the flattened-BVH slot layout
+    (ops/bvh_flat.py): (S,) i32 mapping device slot -> original triangle, with
+    -1 slots becoming interleaved degenerate triangles, so traversal hit
+    indices directly address these planes.
     """
     verts = jnp.asarray(verts, jnp.float32)
     faces = np.asarray(faces, np.int32)
     mat_idx = np.asarray(mat_idx, np.int32)
-    if perm is not None:
+    if slot_map is not None:
+        assert perm is None and pad_to is None
+        slot_map = np.asarray(slot_map, np.int32)
+        safe = np.maximum(slot_map, 0)
+        faces = np.where(slot_map[:, None] >= 0, faces[safe], 0)
+        mat_idx = np.where(slot_map >= 0, mat_idx[safe], 0)
+    elif perm is not None:
         faces = faces[perm]
         mat_idx = mat_idx[perm]
     ntri = faces.shape[0]
@@ -113,7 +125,7 @@ def build_device_scene(
 
 
 def device_scene_from_host(
-    scene: Scene, ambient=(0.5, 0.5, 0.5), perm=None, pad_to=None
+    scene: Scene, ambient=(0.5, 0.5, 0.5), perm=None, pad_to=None, slot_map=None
 ) -> DeviceScene:
     return build_device_scene(
         scene.verts,
@@ -127,4 +139,5 @@ def device_scene_from_host(
         ambient=ambient,
         perm=perm,
         pad_to=pad_to,
+        slot_map=slot_map,
     )

@@ -117,3 +117,98 @@ def render_bruteforce(
     return _render_bruteforce(
         ds, cam_arrays, width, height, bounces, chunk, row_chunk
     )
+
+
+# ---------------------------------------------------------------------------
+# Tile-major packet rendering (BVH variants)
+# ---------------------------------------------------------------------------
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tile_image_shape(width: int, height: int, tr: int, tc: int):
+    """Padded dims + tile grid for (tr, tc) pixel tiles."""
+    wp, hp = _ceil_to(width, tc), _ceil_to(height, tr)
+    return wp, hp, hp // tr, wp // tc
+
+
+def tiles_to_image(flat, width, height, tr, tc):
+    """(ntiles*K,) or (ntiles*K, C) tile-major -> (height, width[, C]), cropped.
+
+    Tile order is row-major over the (hp/tr, wp/tc) tile grid; within a tile,
+    row-major over (tr, tc) pixels.
+    """
+    wp, hp, nty, ntx = tile_image_shape(width, height, tr, tc)
+    trailing = flat.shape[1:]
+    img = flat.reshape(nty, ntx, tr, tc, *trailing)
+    img = jnp.moveaxis(img, 2, 1).reshape(hp, wp, *trailing)
+    return img[:height, :width]
+
+
+def generate_rays_tiled(cam_arrays, width, height, tr, tc):
+    """(ntiles*K,) Vec3 origin/direction planes in tile-major order."""
+    origin, dir00, inc_x, inc_y = cam_arrays
+    wp, hp, nty, ntx = tile_image_shape(width, height, tr, tc)
+    o, d = generate_rays(origin, dir00, inc_x, inc_y, wp, hp, 0, hp)
+
+    def tilewise(p):
+        return (
+            p.reshape(nty, tr, ntx, tc).swapaxes(1, 2).reshape(nty * ntx * tr * tc)
+        )
+
+    return (
+        Vec3(tilewise(o.x), tilewise(o.y), tilewise(o.z)),
+        Vec3(tilewise(d.x), tilewise(d.y), tilewise(d.z)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "bounces", "leaf_size", "stack_depth",
+        "tile_rows", "tile_cols",
+    ),
+)
+def _render_bvh_jax(
+    ds,
+    bvh,
+    cam_arrays,
+    width: int,
+    height: int,
+    bounces: int,
+    leaf_size: int,
+    stack_depth: int,
+    tile_rows: int,
+    tile_cols: int,
+):
+    from . import trace_bvh
+
+    o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
+    closest_fn, occluded_fn = trace_bvh.make_tracer(
+        bvh, ds, leaf_size, stack_depth, packet=tile_rows * tile_cols
+    )
+    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
+    col = col.clamp(0.0, 1.0)
+    flat = jnp.stack([col.x, col.y, col.z], axis=-1)
+    return tiles_to_image(flat, width, height, tile_rows, tile_cols)
+
+
+def render_bvh_jax(
+    ds,
+    bvh,
+    cam: Camera,
+    width: int,
+    height: int,
+    bounces: int = 4,
+    leaf_size: int = 4,
+    stack_depth: int = 64,
+    tile_rows: int = 32,
+    tile_cols: int = 32,
+):
+    """Packet-traversal render, pure JAX (lax.while_loop) variant."""
+    cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
+    return _render_bvh_jax(
+        ds, bvh, cam_arrays, width, height, bounces,
+        leaf_size, stack_depth, tile_rows, tile_cols,
+    )
