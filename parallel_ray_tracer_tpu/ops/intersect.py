@@ -81,28 +81,46 @@ def moller_trumbore_t(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
     return t, u, v
 
 
+INV_DIR_MAX = 1e30  # finite stand-in for 1/0 (see clip_inv_dir)
+
+
+def clip_inv_dir(d: Vec3) -> Vec3:
+    """Reciprocal direction with infinities clamped to +/-1e30.
+
+    The reference divides slab extents by direction components per node
+    (cpu/src/bvh.c:50-55), relying on C99 fminf/fmaxf ignoring the NaNs that
+    0 * inf produces. Precomputing one clamped reciprocal per ray removes 6
+    divides per node AND every NaN path: with finite +/-1e30, 0 * 1e30 == 0,
+    so an on-slab axis-parallel ray yields an unconstrained axis — a strictly
+    conservative (never-cull-a-true-hit) superset of the C semantics, and
+    plain min/max suffice (cheaper on the VPU than NaN-aware fmin/fmax).
+    """
+    one = jnp.float32(1.0)
+    lim = jnp.float32(INV_DIR_MAX)
+    return Vec3(
+        jnp.clip(one / d.x, -lim, lim),
+        jnp.clip(one / d.y, -lim, lim),
+        jnp.clip(one / d.z, -lim, lim),
+    )
+
+
 def aabb_intersect(
     bb_min: Vec3, bb_max: Vec3, o: Vec3, inv_d: Vec3
 ) -> jax.Array:
     """Slab test returning entry distance tmin, or T_MAX on miss
-    (cpu/src/bvh.c:48-59). Uses fmin/fmax (NaN-ignoring) to match C99
-    fminf/fmaxf when a ray axis-parallel to a slab originates on it.
-
-    Takes the precomputed reciprocal direction: the reference divides per
-    node (6 divides); one reciprocal per ray amortizes across the traversal.
-    """
+    (cpu/src/bvh.c:48-59). `inv_d` must come from clip_inv_dir (no NaNs)."""
     tx1 = (bb_min.x - o.x) * inv_d.x
     tx2 = (bb_max.x - o.x) * inv_d.x
-    tmin = jnp.fmin(tx1, tx2)
-    tmax = jnp.fmax(tx1, tx2)
+    tmin = jnp.minimum(tx1, tx2)
+    tmax = jnp.maximum(tx1, tx2)
     ty1 = (bb_min.y - o.y) * inv_d.y
     ty2 = (bb_max.y - o.y) * inv_d.y
-    tmin = jnp.fmax(tmin, jnp.fmin(ty1, ty2))
-    tmax = jnp.fmin(tmax, jnp.fmax(ty1, ty2))
+    tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+    tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
     tz1 = (bb_min.z - o.z) * inv_d.z
     tz2 = (bb_max.z - o.z) * inv_d.z
-    tmin = jnp.fmax(tmin, jnp.fmin(tz1, tz2))
-    tmax = jnp.fmin(tmax, jnp.fmax(tz1, tz2))
+    tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
     hit = (tmax >= tmin) & (tmax > 0.0)
     return jnp.where(hit, tmin, T_MAX)
 

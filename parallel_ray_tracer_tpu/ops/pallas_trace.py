@@ -1,0 +1,443 @@
+"""Pallas TPU packet-traversal kernels (the production hot path).
+
+TPU-native replacement for the reference's CUDA traversal kernels
+(gpu/src/bvh.cu:288-392, one thread per ray with a register stack): here one
+*grid step* owns a (8, 128) = 1024-ray packet whose state lives entirely in
+vector registers, a single scalar traversal stack lives in SMEM, and all
+geometry tests are dense (8, 128) VPU ops. The algorithm is identical to
+ops/trace_bvh.py (which is the jittable reference implementation these
+kernels are tested against).
+
+Memory layout, driven by Mosaic's addressing rules (dynamic indexing is only
+cheap on the second-minor dimension):
+
+  - ``cbox`` (Ni, 16) f32 — for inner node i, BOTH children's AABBs packed in
+    one row: [lmin.xyz, lmax.xyz, rmin.xyz, rmax.xyz, pad4]. One dynamic row
+    fetch + 12 static lane extracts per visit instead of two node fetches.
+    This is the "float_align" idea (gpu/include/vec.cuh:6-27) adapted to
+    sublane addressing.
+  - ``cmeta`` (Ni, 8) i32 — [enc_l, enc_r, ...]: child encoding. enc >= 0 is
+    an inner-node row index; enc < 0 is a leaf holding triangle group
+    ``-enc - 1``. Leaves therefore never occupy node rows (the reference
+    stores leaves as nodes with tr_len > 0, cpu/include/bvh.h:17-22).
+  - ``tri`` (G, 128) f32 — leaf triangle groups: L triangles x 12 floats
+    [v0.xyz, e1.xyz, e2.xyz, n.xyz] per triangle (n = e1 x e2 precomputed,
+    the quantity Moller-Trumbore needs; the reference recomputes it per test,
+    cpu/src/raytracer.c:38-41). Degenerate padding slots have n == 0 so
+    det == 0 and they can never hit.
+
+bf16 compression of cbox (the hbvh_t analog, gpu/include/bvh.cuh:19-28) uses
+conservative rounding from ops/bvh_flat.compress_bf16 semantics: min down,
+max up, so culling stays exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bvh_flat import FlatBVH
+from .intersect import EPSILON, INV_DIR_MAX
+
+# Plain Python float (jnp scalars would be captured as constants by kernels).
+T_MAX = 3.4028235e38
+from .trace_brute import Hit
+from .vecmath import Vec3
+
+LANES = 128
+SUBLANES = 8
+PACKET = LANES * SUBLANES            # rays per grid step
+TRI_STRIDE = 12                      # floats per triangle in a group row
+STACK_DEPTH = 96
+
+
+@dataclasses.dataclass
+class PackedBVH:
+    """Host-side packed arrays ready for upload."""
+
+    cbox: np.ndarray    # (Ni, 16) f32 (or bf16)
+    cmeta: np.ndarray   # (Ni, 8) i32
+    tri: np.ndarray     # (G, 128) f32
+    leaf_size: int
+
+    @property
+    def n_inner(self) -> int:
+        return int(self.cbox.shape[0])
+
+    @property
+    def n_groups(self) -> int:
+        return int(self.tri.shape[0])
+
+
+def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
+    """Pack a FlatBVH + original (T,3,3) triangle vertices for the kernels."""
+    L = flat.leaf_size
+    if L * TRI_STRIDE > LANES:
+        raise ValueError(f"leaf_size {L} needs {L*TRI_STRIDE} lanes > {LANES}")
+
+    count, a = flat.count, flat.a
+    inner_old = np.nonzero(count == 0)[0]
+    if inner_old.size == 0:
+        # Tiny scene: the root itself is a leaf. Emit one synthetic inner
+        # whose left child is that leaf and whose right child is a box that
+        # cannot be hit (inverted AABB -> slab test always misses).
+        cbox = np.zeros((1, 16), np.float32)
+        cbox[0, 0:3] = flat.node_min[0]
+        cbox[0, 3:6] = flat.node_max[0]
+        cbox[0, 6:9] = np.float32(3e38)
+        cbox[0, 9:12] = np.float32(-3e38)
+        cmeta = np.zeros((1, 8), np.int32)
+        cmeta[0, 0] = -(a[0] // L) - 1
+        cmeta[0, 1] = -1  # leaf group 0; unreachable behind the dead box
+    else:
+        remap = np.full(flat.n_nodes, -1, np.int64)
+        remap[inner_old] = np.arange(inner_old.size)
+        assert remap[0] == 0, "root must be the first inner node"
+        Ni = inner_old.size
+        cbox = np.zeros((Ni, 16), np.float32)
+        cmeta = np.zeros((Ni, 8), np.int32)
+        cl = a[inner_old]                 # left child of each inner (right = cl+1)
+        cbox[:, 0:3] = flat.node_min[cl]
+        cbox[:, 3:6] = flat.node_max[cl]
+        cbox[:, 6:9] = flat.node_min[cl + 1]
+        cbox[:, 9:12] = flat.node_max[cl + 1]
+        for k in (0, 1):
+            ch = cl + k
+            is_leaf = count[ch] > 0
+            cmeta[:, k] = np.where(is_leaf, -(a[ch] // L) - 1, remap[ch])
+            assert (is_leaf | (remap[ch] >= 0)).all()
+
+    # Triangle group rows: slot s = g*L + j lives at lanes [12j, 12j+12) of
+    # row g; pad slots (slot_map == -1) stay all-zero (n == 0 -> always miss).
+    tv = np.asarray(tri_verts, np.float32)
+    G = flat.n_slots // L
+    sm = flat.slot_map
+    safe = np.maximum(sm, 0)
+    v0 = tv[safe, 0]
+    e1 = tv[safe, 1] - v0
+    e2 = tv[safe, 2] - v0
+    n = np.cross(e1, e2)
+    data = np.concatenate([v0, e1, e2, n], axis=1).astype(np.float32)  # (S, 12)
+    data[sm < 0] = 0.0
+    tri = np.zeros((G, LANES), np.float32)
+    tri[:, : TRI_STRIDE * L] = data.reshape(G, L * TRI_STRIDE)
+
+    if bf16:
+        import ml_dtypes
+
+        lo_cols = list(range(0, 3)) + list(range(6, 9))
+        hi_cols = list(range(3, 6)) + list(range(9, 12))
+        bits = cbox.view(np.uint32) & np.uint32(0xFFFF0000)
+        f = bits.view(np.float32)
+        bump = bits + np.uint32(0x00010000)
+        out = bits.copy()
+        # min planes: round down (truncation raises negatives; push them back)
+        for c in lo_cols:
+            out[:, c] = np.where(f[:, c] > cbox[:, c], bump[:, c], bits[:, c])
+        # max planes: round up
+        for c in hi_cols:
+            out[:, c] = np.where(f[:, c] < cbox[:, c], bump[:, c], bits[:, c])
+        cbox = (
+            out.view(np.float32).astype(ml_dtypes.bfloat16)
+        )
+
+    return PackedBVH(cbox=cbox, cmeta=cmeta, tri=tri, leaf_size=L)
+
+
+def _extract3(row, base: int):
+    return row[0, base], row[0, base + 1], row[0, base + 2]
+
+
+def _slab(lo, hi, o, inv, t_cut):
+    """Min distance over lanes to a scalar AABB, pruned by per-lane t_cut.
+
+    Returns the packet's pruned minimum entry distance (scalar): < T_MAX
+    means some lane can still be improved inside this box. One reduction
+    yields both the cull test and the near-child ordering key.
+    """
+    tx1 = (lo[0] - o.x) * inv.x
+    tx2 = (hi[0] - o.x) * inv.x
+    tmin = jnp.minimum(tx1, tx2)
+    tmax = jnp.maximum(tx1, tx2)
+    ty1 = (lo[1] - o.y) * inv.y
+    ty2 = (hi[1] - o.y) * inv.y
+    tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+    tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+    tz1 = (lo[2] - o.z) * inv.z
+    tz2 = (hi[2] - o.z) * inv.z
+    tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
+    ok = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_cut)
+    return jnp.min(jnp.where(ok, tmin, T_MAX))
+
+
+def _mt_scalar_tri(o: Vec3, d: Vec3, row, j: int):
+    """Moller-Trumbore of the whole packet against triangle j of a group row.
+
+    Scalar triangle data broadcast against (8,128) ray planes
+    (cpu/src/raytracer.c:35-59 semantics: det = -dot(d, n), miss -> T_MAX).
+    """
+    base = TRI_STRIDE * j
+    v0x, v0y, v0z = _extract3(row, base)
+    e1x, e1y, e1z = _extract3(row, base + 3)
+    e2x, e2y, e2z = _extract3(row, base + 6)
+    nx, ny, nz = _extract3(row, base + 9)
+
+    det = -(d.x * nx + d.y * ny + d.z * nz)
+    invdet = 1.0 / det
+    aox = o.x - v0x
+    aoy = o.y - v0y
+    aoz = o.z - v0z
+    # dao = ao x d
+    daox = aoy * d.z - aoz * d.y
+    daoy = aoz * d.x - aox * d.z
+    daoz = aox * d.y - aoy * d.x
+    u = (e2x * daox + e2y * daoy + e2z * daoz) * invdet
+    v = -(e1x * daox + e1y * daoy + e1z * daoz) * invdet
+    t = (aox * nx + aoy * ny + aoz * nz) * invdet
+    hit = (
+        (jnp.abs(det) >= EPSILON)
+        & (t > EPSILON)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & ((u + v) <= 1.0)
+    )
+    return jnp.where(hit, t, T_MAX), det < 0.0
+
+
+def _load_rays(ox, oy, oz, dx, dy, dz):
+    o = Vec3(ox[:, :], oy[:, :], oz[:, :])
+    d = Vec3(dx[:, :], dy[:, :], dz[:, :])
+    lim = jnp.float32(INV_DIR_MAX)
+    inv = Vec3(
+        jnp.clip(1.0 / d.x, -lim, lim),
+        jnp.clip(1.0 / d.y, -lim, lim),
+        jnp.clip(1.0 / d.z, -lim, lim),
+    )
+    return o, d, inv
+
+
+def _closest_kernel(L: int):
+    def kernel(ox, oy, oz, dx, dy, dz, cbox, cmeta, tri, t_out, idx_out, nd_out, stack):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+
+        stack[0] = jnp.int32(0)  # root inner node
+
+        def leaf(g, t, idx, nd):
+            row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+            for j in range(L):
+                tj, ndj = _mt_scalar_tri(o, d, row, j)
+                better = tj < t
+                t = jnp.where(better, tj, t)
+                idx = jnp.where(better, g * L + j, idx)
+                # nd carried as i32: Mosaic cannot carry i1 vectors in loops.
+                nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+            return t, idx, nd
+
+        def body(state):
+            sp, t, idx, nd = state
+            sp = sp - 1
+            e = stack[sp]
+
+            def do_leaf(args):
+                sp, t, idx, nd = args
+                t, idx, nd = leaf(-e - 1, t, idx, nd)
+                return sp, t, idx, nd
+
+            def do_inner(args):
+                sp, t, idx, nd = args
+                crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mrow = cmeta[pl.ds(e, 1), :]
+                enc_l = mrow[0, 0]
+                enc_r = mrow[0, 1]
+                ml = _slab(_extract3(crow, 0), _extract3(crow, 3), o, inv, t)
+                mr = _slab(_extract3(crow, 6), _extract3(crow, 9), o, inv, t)
+                left_near = ml <= mr
+                near_e = jnp.where(left_near, enc_l, enc_r)
+                far_e = jnp.where(left_near, enc_r, enc_l)
+                near_hit = jnp.where(left_near, ml, mr) < T_MAX
+                far_hit = jnp.where(left_near, mr, ml) < T_MAX
+
+                # push far first so near pops first (cpu/src/bvh.c:344-356)
+                stack[sp] = far_e
+                sp = sp + far_hit.astype(jnp.int32)
+                stack[sp] = near_e
+                sp = sp + near_hit.astype(jnp.int32)
+                return sp, t, idx, nd
+
+            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, t, idx, nd))
+
+        def cond(state):
+            return state[0] > 0
+
+        init = (
+            jnp.int32(1),
+            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+            jnp.full((SUBLANES, LANES), -1, jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+        )
+        _, t, idx, nd = jax.lax.while_loop(cond, body, init)
+        t_out[:, :] = t
+        idx_out[:, :] = idx
+        nd_out[:, :] = nd
+
+    return kernel
+
+
+def _occluded_kernel(L: int):
+    def kernel(ox, oy, oz, dx, dy, dz, m2, cbox, cmeta, tri, out, stack):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        max_dist2 = m2[:, :]
+        t_limit = jnp.sqrt(max_dist2)  # d is unit for shadow rays
+
+        stack[0] = jnp.int32(0)
+
+        def body(state):
+            sp, blocked = state
+            sp = sp - 1
+            e = stack[sp]
+
+            def do_leaf(args):
+                sp, blocked = args
+                g = -e - 1
+                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                return sp, blocked
+
+            def do_inner(args):
+                sp, blocked = args
+                crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mrow = cmeta[pl.ds(e, 1), :]
+                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+                ml = _slab(_extract3(crow, 0), _extract3(crow, 3), o, inv, t_cut)
+                mr = _slab(_extract3(crow, 6), _extract3(crow, 9), o, inv, t_cut)
+                # unordered push (any-hit has no near-first payoff,
+                # cpu/src/bvh.c:298-313); left pops first.
+                stack[sp] = mrow[0, 1]
+                sp = sp + (mr < T_MAX).astype(jnp.int32)
+                stack[sp] = mrow[0, 0]
+                sp = sp + (ml < T_MAX).astype(jnp.int32)
+                return sp, blocked
+
+            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, blocked))
+
+        def cond(state):
+            sp, blocked = state
+            return (sp > 0) & (jnp.min(blocked) == 0)
+
+        init = (jnp.int32(1), jnp.zeros((SUBLANES, LANES), jnp.int32))
+        _, blocked = jax.lax.while_loop(cond, body, init)
+        out[:, :] = blocked
+
+    return kernel
+
+
+def _ray_specs(n: int):
+    return [
+        pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(n)
+    ]
+
+
+def _scene_specs():
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # cbox
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # cmeta
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+def closest_tiles(
+    cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False
+) -> Hit:
+    """Closest hit over tiled rays: planes shaped (ntiles*8, 128)."""
+    rows = o.x.shape[0]
+    assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
+    ntiles = rows // SUBLANES
+    grid = (ntiles,)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+    t, idx, nd = pl.pallas_call(
+        _closest_kernel(leaf_size),
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=_ray_specs(6) + _scene_specs(),
+        out_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri)
+    return Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+def occluded_tiles(
+    cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
+    interpret: bool = False,
+):
+    """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128)."""
+    rows = o.x.shape[0]
+    assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
+    ntiles = rows // SUBLANES
+    blocked = pl.pallas_call(
+        _occluded_kernel(leaf_size),
+        grid=(ntiles,),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        in_specs=_ray_specs(7) + _scene_specs(),
+        out_specs=pl.BlockSpec(
+            (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri)
+    return blocked.astype(bool)
+
+
+def make_tracer(packed_dev, leaf_size: int, interpret: bool = False):
+    """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
+
+    packed_dev: (cbox, cmeta, tri) device arrays from a PackedBVH.
+    """
+    cbox, cmeta, tri = packed_dev
+
+    def closest(o: Vec3, d: Vec3) -> Hit:
+        R = o.x.shape[0]
+        assert R % PACKET == 0, R
+        rows = R // LANES
+        h = closest_tiles(
+            cbox, cmeta, tri,
+            o.reshape(rows, LANES), d.reshape(rows, LANES),
+            leaf_size=leaf_size, interpret=interpret,
+        )
+        return Hit(
+            t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
+        )
+
+    def occluded(o: Vec3, d: Vec3, max_dist2: jax.Array):
+        R = o.x.shape[0]
+        assert R % PACKET == 0, R
+        rows = R // LANES
+        blocked = occluded_tiles(
+            cbox, cmeta, tri,
+            o.reshape(rows, LANES), d.reshape(rows, LANES),
+            max_dist2.reshape(rows, LANES),
+            leaf_size=leaf_size, interpret=interpret,
+        )
+        return blocked.reshape(R)
+
+    return closest, occluded

@@ -212,3 +212,62 @@ def render_bvh_jax(
         ds, bvh, cam_arrays, width, height, bounces,
         leaf_size, stack_depth, tile_rows, tile_cols,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
+        "interpret",
+    ),
+)
+def _render_bvh_pallas(
+    ds,
+    packed_dev,
+    cam_arrays,
+    width: int,
+    height: int,
+    bounces: int,
+    leaf_size: int,
+    tile_rows: int,
+    tile_cols: int,
+    interpret: bool,
+):
+    from . import pallas_trace
+
+    o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
+    closest_fn, occluded_fn = pallas_trace.make_tracer(
+        packed_dev, leaf_size, interpret=interpret
+    )
+    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
+    col = col.clamp(0.0, 1.0)
+    flat = jnp.stack([col.x, col.y, col.z], axis=-1)
+    return tiles_to_image(flat, width, height, tile_rows, tile_cols)
+
+
+def render_bvh_pallas(
+    ds,
+    packed_dev,
+    cam: Camera,
+    width: int,
+    height: int,
+    bounces: int = 4,
+    leaf_size: int = 8,
+    tile_rows: int = 32,
+    tile_cols: int = 32,
+    interpret: bool = False,
+):
+    """Packet-traversal render with the Pallas TPU kernels (production path).
+
+    packed_dev: (cbox, cmeta, tri) device arrays from pallas_trace.pack_bvh.
+    Pixel tiles must hold exactly 1024 rays (one (8,128) packet per grid
+    step); (32, 32) blocks are the most ray-coherent choice.
+    """
+    from .pallas_trace import PACKET
+
+    assert tile_rows * tile_cols == PACKET, (tile_rows, tile_cols)
+    cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
+    return _render_bvh_pallas(
+        ds, packed_dev, cam_arrays, width, height, bounces,
+        leaf_size, tile_rows, tile_cols, interpret,
+    )

@@ -31,7 +31,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .intersect import T_MAX, aabb_intersect, moller_trumbore
+from .intersect import T_MAX, aabb_intersect, clip_inv_dir, moller_trumbore
 from .trace_brute import Hit
 from .vecmath import Vec3
 
@@ -93,12 +93,7 @@ def _push(stack, sp, node, pred):
     return stack, sp + pred.astype(jnp.int32)
 
 
-def _inv_dir(d: Vec3) -> Vec3:
-    # C divides sizes by dir components directly (cpu/src/bvh.c:50-55); IEEE
-    # gives +/-inf for zero components, and fmin/fmax in the slab test ignore
-    # the resulting NaNs exactly like C99 fminf/fmaxf.
-    one = jnp.float32(1.0)
-    return Vec3(one / d.x, one / d.y, one / d.z)
+_inv_dir = clip_inv_dir
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "stack_depth"))

@@ -1,0 +1,152 @@
+"""End-to-end pipeline: config -> scene -> BVH -> device arrays -> render.
+
+The TPU analog of the reference's main() flow (cpu/src/main.c:90-212,
+gpu/src/main.cu:80-141): load scene, build BVH (timed), upload once, render
+many frames. Everything after `prepare()` is jitted and device-resident —
+the scene/BVH stay on-chip across frames exactly like the reference keeps
+them across kernel launches (gpu/src/main.cu:110-115).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .models.camera import Camera
+from .models.device_scene import DeviceScene, device_scene_from_host
+from .models.scene import Scene, load_scene, synthetic_scene
+from .ops import pallas_trace, render as render_ops, trace_bvh
+from .ops.bvh import BVH, build_bvh
+from .ops.bvh_flat import FlatBVH, flatten_bvh
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """Prepared, device-resident render state."""
+
+    cfg: RenderConfig
+    scene: Scene
+    ds: DeviceScene
+    bvh: Optional[BVH]               # host tree (None when use_bvh=False)
+    flat: Optional[FlatBVH]
+    dbvh: Optional[trace_bvh.DeviceBVH]   # jax-variant device tree
+    packed_dev: Optional[Tuple]           # pallas-variant (cbox, cmeta, tri)
+    leaf_size: int
+    stack_depth: int
+    build_ms: float
+
+    def camera(self) -> Camera:
+        return Camera(
+            pos=self.cfg.cam_pos, rot=self.cfg.cam_rot, fov=self.cfg.cam_fov
+        )
+
+    def render(
+        self,
+        cam: Optional[Camera] = None,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        variant: Optional[str] = None,
+        interpret: bool = False,
+    ) -> jax.Array:
+        """Render one frame -> (H, W, 3) f32 in [0, 1]."""
+        cfg = self.cfg
+        cam = cam or self.camera()
+        width = width or cfg.width
+        height = height or cfg.height
+        variant = variant or (cfg.variant if cfg.use_bvh else "bruteforce")
+
+        if variant == "bruteforce":
+            return render_ops.render_bruteforce(
+                self.ds, cam, width, height, bounces=cfg.bounces
+            )
+        if variant == "jax":
+            assert self.dbvh is not None
+            return render_ops.render_bvh_jax(
+                self.ds, self.dbvh, cam, width, height, bounces=cfg.bounces,
+                leaf_size=self.leaf_size, stack_depth=self.stack_depth,
+                tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
+            )
+        if variant == "pallas":
+            assert self.packed_dev is not None
+            return render_ops.render_bvh_pallas(
+                self.ds, self.packed_dev, cam, width, height,
+                bounces=cfg.bounces, leaf_size=self.leaf_size,
+                tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
+                interpret=interpret,
+            )
+        raise ValueError(f"unknown variant {variant!r}")
+
+
+def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
+    """Load assets, build + flatten + upload the BVH, stage the scene."""
+    if scene is None:
+        if cfg.synthetic_triangles > 0:
+            scene = synthetic_scene(cfg.synthetic_triangles, seed=cfg.seed)
+        else:
+            scene = load_scene(cfg.asset_dir())
+
+    tv = scene.triangle_vertices()
+    # The traversal kernels want leaves that actually hold `leaf_size`
+    # triangles; the reference's BVH_ELEMENT_THRESHOLD (options.h:58) plays
+    # that role at build time.
+    leaf_size = _pick_leaf_size(cfg)
+
+    bvh = flat = dbvh = packed_dev = None
+    build_ms = 0.0
+    stack_depth = 64
+    ds_kwargs = {}
+
+    if cfg.use_bvh:
+        t0 = time.perf_counter()
+        bvh = build_bvh(
+            tv,
+            heuristic=cfg.bvh_heuristic,
+            max_depth=cfg.bvh_max_depth,
+            leaf_threshold=max(cfg.leaf_threshold, leaf_size),
+            sah_bins=cfg.sah_bins,
+            seed=cfg.seed,
+        )
+        flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
+        build_ms = (time.perf_counter() - t0) * 1e3
+        ds_kwargs["slot_map"] = flat.slot_map
+
+    ds = device_scene_from_host(scene, ambient=cfg.ambient, **ds_kwargs)
+
+    if cfg.use_bvh:
+        dbvh, _, stack_depth = trace_bvh.device_bvh_from_flat(
+            flat, bf16=cfg.bf16_bvh
+        )
+        packed = pallas_trace.pack_bvh(flat, tv, bf16=cfg.bf16_bvh)
+        packed_dev = (
+            jnp.asarray(packed.cbox),
+            jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri),
+        )
+
+    return Pipeline(
+        cfg=cfg,
+        scene=scene,
+        ds=ds,
+        bvh=bvh,
+        flat=flat,
+        dbvh=dbvh,
+        packed_dev=packed_dev,
+        leaf_size=leaf_size,
+        stack_depth=stack_depth,
+        build_ms=build_ms,
+    )
+
+
+def _pick_leaf_size(cfg: RenderConfig) -> int:
+    """Leaf group size for the kernels: power of two, 12 floats per triangle
+    must fit the 128-lane group row."""
+    for cand in (8, 4, 2, 1):
+        if cand * pallas_trace.TRI_STRIDE <= pallas_trace.LANES:
+            return cand
+    return 1
