@@ -105,8 +105,11 @@ def build_device_scene(
     e1 = v1 - v0
     e2 = v2 - v0
     n = e1.cross(e2)
-    mag = n.mag()
-    n0 = (n / jnp.maximum(mag, 1e-30)).where(mag > 0, Vec3(n.x * 0, n.y * 0, n.z * 0))
+    # sqrt guarded away from 0 so degenerate (padding) triangles produce a
+    # finite gradient that the `where` then zeroes, instead of sqrt'(0)=inf.
+    mag2 = n.mag2()
+    mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
+    n0 = (n / mag).where(mag2 > 0, Vec3(n.x * 0, n.y * 0, n.z * 0))
 
     amb = np.asarray(ambient, np.float32)
     return DeviceScene(

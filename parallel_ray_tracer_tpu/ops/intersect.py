@@ -41,8 +41,11 @@ def moller_trumbore(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3) -> TriHit:
     det = -(d.dot(n))
     norm_dir = det < 0.0
 
-    # C computes invdet even for tiny det; the miss test gates the result.
-    invdet = 1.0 / det
+    # The miss test gates the result, so a safe denominator changes nothing
+    # in the forward pass — but it keeps reverse-mode AD finite: 1/0 = inf
+    # would turn the (zero) cotangents of miss lanes into NaN (inf * 0).
+    det_safe = jnp.where(jnp.abs(det) >= EPSILON, det, jnp.float32(1.0))
+    invdet = 1.0 / det_safe
     ao = o - v0
     dao = ao.cross(d)
 

@@ -75,11 +75,14 @@ def shade_hit(
         lp = _bcast_scalar_vec(ds.lights_pos, i, p.x)
         kl = _bcast_scalar_vec(ds.lights_kl, i, p.x)
         lvec = lp - p
-        mag = lvec.mag()
+        # Guarded sqrt: keeps reverse-mode AD finite when a hit point
+        # coincides with (or the half-vector cancels at) the light.
+        mag2 = lvec.mag2()
+        mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
         l = lvec / mag
-        mag2 = mag * mag
         n_dot_l = n.dot(l)
-        h = (l + view).normalized()
+        hv = l + view
+        h = hv / jnp.sqrt(jnp.maximum(hv.mag2(), 1e-30))
         coeff = jnp.maximum(0.0, n.dot(h))
         col_ray = kd * jnp.maximum(0.0, n_dot_l) + ks * coeff
         backface = lvec.dot(n) < 0.0            # cpu/src/raytracer.c:66-67
@@ -137,8 +140,8 @@ def trace_rays(
         n = _gather_vec(ds.n0, safe_idx)
         n = (-n).where(hit.norm_dir, n)
         refl = d + n * (2.0 * jnp.abs(d.dot(n)))
-        rmag = refl.mag()
-        d = refl / jnp.maximum(rmag, 1e-30)
+        rmag = jnp.sqrt(jnp.maximum(refl.mag2(), 1e-30))
+        d = refl / rmag
         o = p
 
     return final

@@ -1,0 +1,90 @@
+"""Multi-device sharded rendering + training step on the 8-device CPU mesh
+(SURVEY.md §4(e): mesh logic validated via xla_force_host_platform_device_count).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parallel_ray_tracer_tpu.config import RenderConfig
+from parallel_ray_tracer_tpu import pipeline
+from parallel_ray_tracer_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return sharded.make_mesh(8)
+
+
+class TestShardedRender:
+    def test_jax_variant_matches_oracle(self, tiny_scene, mesh):
+        cfg = RenderConfig(
+            width=64, height=64, bounces=2, tile_rows=32, tile_cols=32,
+            bvh_heuristic=6,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        img = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.dbvh, pipe.camera(), 64, 64, mesh,
+                bounces=2, leaf_size=pipe.leaf_size,
+                stack_depth=pipe.stack_depth, variant="jax",
+            )
+        )
+        ref = np.asarray(pipe.render(variant="bruteforce"))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+    def test_uneven_tiles_padded(self, tiny_scene, mesh):
+        # 3 tiles over 8 devices exercises tile padding.
+        cfg = RenderConfig(
+            width=96, height=32, bounces=1, tile_rows=32, tile_cols=32,
+            bvh_heuristic=3,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        img = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.dbvh, pipe.camera(), 96, 32, mesh,
+                bounces=1, leaf_size=pipe.leaf_size,
+                stack_depth=pipe.stack_depth, variant="jax",
+            )
+        )
+        ref = np.asarray(pipe.render(variant="bruteforce"))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+    def test_round_robin_perm(self):
+        perm = sharded.round_robin_perm(16, 4)
+        # Device 0 gets positions 0..3 -> original tiles 0, 4, 8, 12.
+        assert perm[:4].tolist() == [0, 4, 8, 12]
+        assert sorted(perm.tolist()) == list(range(16))
+
+
+class TestShardedTraining:
+    def test_step_descends_and_stays_finite(self, tiny_scene, mesh):
+        step, prep = sharded.make_train_step(
+            tiny_scene, mesh, 64, 64, bounces=1, lr=1e-3
+        )
+        v, o_t, d_t, target = prep()
+        losses = []
+        for _ in range(4):
+            v, loss = step(v, o_t, d_t, target)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert bool(jnp.isfinite(v).all())
+        assert losses[-1] < losses[0]
+
+    def test_gradients_match_single_device(self, tiny_scene, mesh):
+        """The sharded step must equal an unsharded one numerically."""
+        step8, prep8 = sharded.make_train_step(
+            tiny_scene, mesh, 64, 32, bounces=1, lr=1e-2
+        )
+        mesh1 = sharded.make_mesh(1)
+        step1, prep1 = sharded.make_train_step(
+            tiny_scene, mesh1, 64, 32, bounces=1, lr=1e-2
+        )
+        v8, o8, d8, t8 = prep8()
+        v1, o1, d1, t1 = prep1()
+        n8, l8 = step8(v8, o8, d8, t8)
+        n1, l1 = step1(v1, o1, d1, t1)
+        assert abs(float(l8) - float(l1)) < 1e-6
+        np.testing.assert_allclose(np.asarray(n8), np.asarray(n1), atol=1e-5)
