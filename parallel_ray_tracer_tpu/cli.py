@@ -1,0 +1,200 @@
+"""CLI harness: render + benchmark with every reference knob at runtime.
+
+Where the reference needs recompilation to change scene/resolution/heuristic
+(compile-time macros, cpu/include/options.h, gpu/include/options.cuh), every
+knob here is a flag. Output protocol mirrors the reference harness:
+settings banner (cpu/src/main.c:149-165), BVH build time + structural
+metrics (cpu/src/main.c:135-147, cpu/src/bvh.c:381-387), warmup + timed
+iterations (gpu/include/options.cuh:25-26), per-frame times, then
+mean/median/stddev/99% CI/FPS statistics (cpu/src/main.c:194-209) — plus a
+structured JSON metrics file for sweep tooling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from .config import RESOLUTIONS, RenderConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="parallel_ray_tracer_tpu",
+        description="TPU-native parallel ray tracer",
+    )
+    p.add_argument("--scene", default="car_boxed",
+                   help="asset scene name (or use --synthetic)")
+    p.add_argument("--asset-root", default=None)
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="render N random triangles instead of a scene "
+                        "(cpu/src/main.c:115-131)")
+    p.add_argument("--resolution", default=None, choices=sorted(RESOLUTIONS),
+                   help="preset name; overrides --width/--height")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--variant", default="pallas",
+                   choices=("pallas", "jax", "bruteforce"))
+    p.add_argument("--no-bvh", action="store_true",
+                   help="USE_BVH=0: brute-force all triangles")
+    p.add_argument("--heuristic", type=int, default=6, choices=range(7),
+                   help="BVH split heuristic 0-6 (cpu/src/bvh.c:115-242)")
+    p.add_argument("--sah-bins", type=int, default=32,
+                   help="SAH_BIN_SIZE; -1 = per-centroid brute force")
+    p.add_argument("--leaf-threshold", type=int, default=8,
+                   help="BVH_ELEMENT_THRESHOLD")
+    p.add_argument("--max-depth", type=int, default=32, help="BVH_MAX_ITER")
+    p.add_argument("--seed", type=int, default=1,
+                   help="SEED; 0 = time-based (options.h:66-71)")
+    p.add_argument("--no-fast-light", action="store_true",
+                   help="USE_BVH_FAST_LIGHT=0: closest-hit shadow traversal")
+    p.add_argument("--bf16-bvh", action="store_true",
+                   help="bf16-compressed BVH boxes (conservative rounding)")
+    p.add_argument("--tile", default="32x32",
+                   help="pixel tile shape ROWSxCOLS (1024 rays per packet)")
+    p.add_argument("--iterations", type=int, default=1)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard image tiles over this many devices")
+    p.add_argument("--output", default=None, metavar="BMP",
+                   help="write the final frame as a BMP")
+    p.add_argument("--metrics-json", default=None, metavar="PATH",
+                   help="write run metrics as JSON")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpreter mode (debug)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args) -> RenderConfig:
+    width, height = args.width, args.height
+    if args.resolution:
+        width, height = RESOLUTIONS[args.resolution]
+    tr, tc = (int(x) for x in args.tile.split("x"))
+    return RenderConfig(
+        width=width,
+        height=height,
+        scene=args.scene,
+        use_bvh=not args.no_bvh,
+        bvh_heuristic=args.heuristic,
+        bvh_max_depth=args.max_depth,
+        leaf_threshold=args.leaf_threshold,
+        sah_bins=args.sah_bins,
+        seed=args.seed,
+        fast_light=not args.no_fast_light,
+        bounces=args.bounces,
+        iterations=args.iterations,
+        warmup=args.warmup,
+        tile_rows=tr,
+        tile_cols=tc,
+        variant=args.variant if not args.no_bvh else "bruteforce",
+        bf16_bvh=args.bf16_bvh,
+        synthetic_triangles=args.synthetic,
+        asset_root=args.asset_root,
+        num_devices=args.devices,
+    )
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    import jax
+
+    from . import pipeline
+    from .utils.bmp import write_bmp
+    from .utils.stats import format_summary, summarize
+
+    say = (lambda *a: None) if args.quiet else print
+
+    say(f"# Host settings #\nbackend: {jax.default_backend()}, "
+        f"devices: {len(jax.devices())}, variant: {cfg.variant}")
+    say(f"\n# Scene settings #\nscene: "
+        f"{'synthetic:%d' % cfg.synthetic_triangles if cfg.synthetic_triangles else cfg.scene}, "
+        f"resolution: {cfg.width}x{cfg.height}, bounces: {cfg.bounces}")
+
+    t0 = time.perf_counter()
+    pipe = pipeline.prepare(cfg)
+    prep_s = time.perf_counter() - t0
+    say(f"\n# Bvh settings #\nuse_bvh: {cfg.use_bvh}, heuristic: "
+        f"{cfg.bvh_heuristic}, sah_bins: {cfg.sah_bins}, leaf: "
+        f"{pipe.leaf_size}, max_depth: {cfg.bvh_max_depth}, seed: {cfg.seed}, "
+        f"fast_light: {cfg.fast_light}, bf16: {cfg.bf16_bvh}")
+    if pipe.bvh is not None:
+        say(f"Time to build the bvh: {pipe.build_ms:.0f} ms")
+        say(pipe.bvh.metrics_banner())
+    say(f"(total prepare: {prep_s:.1f} s)")
+
+    mesh = None
+    if cfg.num_devices > 1:
+        from .parallel import sharded
+
+        mesh = sharded.make_mesh(cfg.num_devices)
+
+    def render_once():
+        if mesh is None:
+            return pipe.render(interpret=args.interpret)
+        from .parallel import sharded
+
+        tracer_data = {
+            "pallas": pipe.packed_dev,
+            "jax": pipe.dbvh,
+            "bruteforce": pipe.ds,
+        }[cfg.variant]
+        return sharded.render_sharded(
+            pipe.ds, tracer_data, pipe.camera(), cfg.width, cfg.height, mesh,
+            bounces=cfg.bounces, leaf_size=pipe.leaf_size,
+            stack_depth=pipe.stack_depth, tile_rows=cfg.tile_rows,
+            tile_cols=cfg.tile_cols, variant=cfg.variant,
+            interpret=args.interpret,
+        )
+
+    for i in range(cfg.warmup):
+        t0 = time.perf_counter()
+        jax.block_until_ready(render_once())
+        say(f"Warmup {i}: {(time.perf_counter()-t0)*1e3:.3f} ms")
+
+    times = []
+    img = None
+    for i in range(cfg.iterations):
+        t0 = time.perf_counter()
+        img = render_once()
+        jax.block_until_ready(img)
+        times.append((time.perf_counter() - t0) * 1e3)
+        say(f"Iteration {i}: {times[-1]:.3f} ms")
+
+    stats = summarize(times)
+    say(format_summary(stats))
+    n_rays = cfg.width * cfg.height
+    stats["primary_rays_per_s"] = n_rays / (stats["median_ms"] / 1e3)
+    say(f"Primary rays/s: {stats['primary_rays_per_s']:.3e}")
+
+    if args.output and img is not None:
+        write_bmp(args.output, np.asarray(img))
+        say(f"Wrote {args.output}")
+
+    if args.metrics_json:
+        record = {
+            "config": dataclasses.asdict(cfg),
+            "backend": jax.default_backend(),
+            "build_ms": pipe.build_ms,
+            "bvh_stats": pipe.bvh.stats if pipe.bvh is not None else None,
+            "times_ms": times,
+            **stats,
+        }
+        with open(args.metrics_json, "w") as f:
+            json.dump(record, f, indent=2)
+        say(f"Wrote {args.metrics_json}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..models.camera import Camera, ray_basis
 from . import trace_brute
-from .shade import trace_rays
+from .shade import occluded_from_closest, trace_rays
 from .vecmath import Vec3
 
 
@@ -167,7 +167,7 @@ def generate_rays_tiled(cam_arrays, width, height, tr, tc):
     jax.jit,
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "stack_depth",
-        "tile_rows", "tile_cols",
+        "tile_rows", "tile_cols", "fast_light",
     ),
 )
 def _render_bvh_jax(
@@ -181,6 +181,7 @@ def _render_bvh_jax(
     stack_depth: int,
     tile_rows: int,
     tile_cols: int,
+    fast_light: bool = True,
 ):
     from . import trace_bvh
 
@@ -188,6 +189,8 @@ def _render_bvh_jax(
     closest_fn, occluded_fn = trace_bvh.make_tracer(
         bvh, ds, leaf_size, stack_depth, packet=tile_rows * tile_cols
     )
+    if not fast_light:
+        occluded_fn = occluded_from_closest(closest_fn)
     col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
     col = col.clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -205,12 +208,13 @@ def render_bvh_jax(
     stack_depth: int = 64,
     tile_rows: int = 32,
     tile_cols: int = 32,
+    fast_light: bool = True,
 ):
     """Packet-traversal render, pure JAX (lax.while_loop) variant."""
     cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
     return _render_bvh_jax(
         ds, bvh, cam_arrays, width, height, bounces,
-        leaf_size, stack_depth, tile_rows, tile_cols,
+        leaf_size, stack_depth, tile_rows, tile_cols, fast_light,
     )
 
 
@@ -218,7 +222,7 @@ def render_bvh_jax(
     jax.jit,
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
-        "interpret",
+        "interpret", "fast_light",
     ),
 )
 def _render_bvh_pallas(
@@ -232,6 +236,7 @@ def _render_bvh_pallas(
     tile_rows: int,
     tile_cols: int,
     interpret: bool,
+    fast_light: bool = True,
 ):
     from . import pallas_trace
 
@@ -239,6 +244,8 @@ def _render_bvh_pallas(
     closest_fn, occluded_fn = pallas_trace.make_tracer(
         packed_dev, leaf_size, interpret=interpret
     )
+    if not fast_light:
+        occluded_fn = occluded_from_closest(closest_fn)
     col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
     col = col.clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -256,6 +263,7 @@ def render_bvh_pallas(
     tile_rows: int = 32,
     tile_cols: int = 32,
     interpret: bool = False,
+    fast_light: bool = True,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -269,5 +277,5 @@ def render_bvh_pallas(
     cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
     return _render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
-        leaf_size, tile_rows, tile_cols, interpret,
+        leaf_size, tile_rows, tile_cols, interpret, fast_light,
     )

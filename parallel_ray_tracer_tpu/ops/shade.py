@@ -34,6 +34,41 @@ ClosestFn = Callable[[Vec3, Vec3], Hit]
 OccludedFn = Callable[[Vec3, Vec3, jax.Array], jax.Array]
 
 
+_FAR_ORIGIN = 1e30
+
+
+def mask_dead_rays(o: Vec3, d: Vec3, alive) -> Tuple[Vec3, Vec3]:
+    """Make dead lanes invisible to packet traversal at zero cost.
+
+    A dead lane gets direction 0 and an origin far outside every AABB: the
+    slab test then yields tmin = tmax = -inf (miss) for every node, and
+    Möller–Trumbore has det == 0, so neither traversal nor leaf tests ever
+    act on the lane. This is the masked-lane equivalent of the reference's
+    early exits (gpu/src/raytracer.cu:71-74, :103-104) — dead lanes stop
+    steering the packet, and fully dead packets terminate at the root.
+    """
+    far = Vec3(
+        jnp.full_like(o.x, _FAR_ORIGIN),
+        jnp.full_like(o.y, _FAR_ORIGIN),
+        jnp.full_like(o.z, _FAR_ORIGIN),
+    )
+    zero = Vec3(d.x * 0, d.y * 0, d.z * 0)
+    return o.where(alive, far), d.where(alive, zero)
+
+
+def occluded_from_closest(closest_fn: ClosestFn) -> OccludedFn:
+    """USE_BVH_FAST_LIGHT=0 fallback: shadow visibility via the closest-hit
+    traversal instead of the dedicated any-hit walk — blocked iff the closest
+    hit lies nearer than the light (cpu/src/raytracer.c:72-84, with t in
+    units of the unit shadow direction so t^2 < light_dist^2)."""
+
+    def occluded(o: Vec3, d: Vec3, max_dist2: jax.Array) -> jax.Array:
+        h = closest_fn(o, d)
+        return (h.idx >= 0) & (h.t * h.t < max_dist2)
+
+    return occluded
+
+
 def _gather_vec(v: Vec3, idx: jax.Array) -> Vec3:
     return Vec3(v.x[idx], v.y[idx], v.z[idx])
 
@@ -52,14 +87,21 @@ def shade_hit(
     o: Vec3,
     d: Vec3,
     hit: Hit,
+    active=None,
 ) -> Vec3:
     """Direct lighting at the hit points (no reflection term).
 
     Returns the reference's per-bounce `col`: kd*amb + sum over lights.
     Values on miss lanes are garbage; callers mask.
+
+    `active` (bool lanes) gates the shadow rays: inactive lanes get a
+    zero direction, which makes every AABB/triangle test miss, so packet
+    traversal skips them at zero cost (dead-lane culling).
     """
     safe_idx = jnp.maximum(hit.idx, 0)
     t_safe = jnp.where(hit.idx >= 0, hit.t, 1.0)
+    if active is None:
+        active = hit.idx >= 0
 
     p = o + d * t_safe
     n = _gather_vec(ds.n0, safe_idx)
@@ -86,7 +128,11 @@ def shade_hit(
         coeff = jnp.maximum(0.0, n.dot(h))
         col_ray = kd * jnp.maximum(0.0, n_dot_l) + ks * coeff
         backface = lvec.dot(n) < 0.0            # cpu/src/raytracer.c:66-67
-        occ = occluded_fn(p, l, mag2)
+        # Only lanes whose visibility can matter trace a shadow ray; the
+        # rest are masked out so the traversal never visits nodes for them.
+        need = active & jnp.logical_not(backface)
+        p_m, l_m = mask_dead_rays(p, l, need)
+        occ = occluded_fn(p_m, l_m, mag2)
         vis = jnp.logical_not(backface | occ)
         contrib = kl * col_ray / mag2
         zero = Vec3(col.x * 0, col.y * 0, col.z * 0)
@@ -110,7 +156,8 @@ def trace_rays(
     alive = jnp.ones(o.x.shape, bool)
 
     for _ in range(bounces):
-        hit = closest_fn(o, d)
+        o_m, d_m = mask_dead_rays(o, d, alive)
+        hit = closest_fn(o_m, d_m)
         is_hit = hit.idx >= 0
 
         # Miss: add multiplier * ambient, lane dies (raytracer.cu:71-74).
@@ -123,7 +170,7 @@ def trace_rays(
         final = final + (mult * amb).where(miss_now, zero)
         alive = alive & is_hit
 
-        col = shade_hit(ds, occluded_fn, o, d, hit)
+        col = shade_hit(ds, occluded_fn, o, d, hit, active=alive)
         final = final + (mult * col).where(alive, zero)
 
         # Early exit check happens BEFORE the kr update (raytracer.cu:103-106).

@@ -71,6 +71,7 @@ class Pipeline:
                 self.ds, self.dbvh, cam, width, height, bounces=cfg.bounces,
                 leaf_size=self.leaf_size, stack_depth=self.stack_depth,
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
+                fast_light=cfg.fast_light,
             )
         if variant == "pallas":
             assert self.packed_dev is not None
@@ -78,7 +79,7 @@ class Pipeline:
                 self.ds, self.packed_dev, cam, width, height,
                 bounces=cfg.bounces, leaf_size=self.leaf_size,
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
-                interpret=interpret,
+                interpret=interpret, fast_light=cfg.fast_light,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -89,7 +90,20 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         if cfg.synthetic_triangles > 0:
             scene = synthetic_scene(cfg.synthetic_triangles, seed=cfg.seed)
         else:
-            scene = load_scene(cfg.asset_dir())
+            try:
+                scene = load_scene(cfg.asset_dir())
+            except FileNotFoundError:
+                # dragon/sportscar/two_cars OBJs are LFS-stripped upstream;
+                # regenerate deterministic substitutes (models/procgen.py).
+                from .config import DEFAULT_ASSET_ROOTS
+                from .models.procgen import substitute_scene
+
+                roots = (
+                    (cfg.asset_root,) if cfg.asset_root else DEFAULT_ASSET_ROOTS
+                )
+                scene = substitute_scene(cfg.scene, roots, seed=cfg.seed)
+                if scene is None:
+                    raise
 
     tv = scene.triangle_vertices()
     # The traversal kernels want leaves that actually hold `leaf_size`
