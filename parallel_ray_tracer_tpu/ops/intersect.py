@@ -68,14 +68,18 @@ def moller_trumbore_t(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
     """Differentiable (t, u, v) of the *known-hit* triangle.
 
     Used by the backward path: traversal finds the hit topology; this
-    recomputes the distance analytically so grads flow to vertices. No hit
-    gating (the caller guarantees a valid hit), keeping the function smooth.
+    recomputes the distance analytically so grads flow to vertices. Real
+    hits have |det| >= EPSILON, so the guarded denominator is inert for
+    them; it only keeps masked/miss lanes (callers substitute garbage
+    rays there) finite so their zero cotangents stay zero instead of
+    0 * inf = NaN.
     """
     e1 = v1 - v0
     e2 = v2 - v0
     n = e1.cross(e2)
     det = -(d.dot(n))
-    invdet = 1.0 / det
+    det_safe = jnp.where(jnp.abs(det) >= 1e-12, det, jnp.float32(1.0))
+    invdet = 1.0 / det_safe
     ao = o - v0
     dao = ao.cross(d)
     u = e2.dot(dao) * invdet

@@ -133,10 +133,14 @@ def shade_hit(
         need = active & jnp.logical_not(backface)
         p_m, l_m = mask_dead_rays(p, l, need)
         occ = occluded_fn(p_m, l_m, mag2)
-        vis = jnp.logical_not(backface | occ)
-        contrib = kl * col_ray / mag2
-        zero = Vec3(col.x * 0, col.y * 0, col.z * 0)
-        col = col + contrib.where(vis, zero)
+        # Float visibility, the reference GPU's branchless form
+        # (gpu/src/raytracer.cu:50-59): 0/1 for hard shadows, fractional for
+        # the differentiable soft-visibility tracer (ops/diff.py).
+        vis = jnp.logical_not(backface).astype(jnp.float32) * (
+            1.0 - occ.astype(jnp.float32)
+        )
+        contrib = kl * col_ray / jnp.maximum(mag2, 1e-30)
+        col = col + contrib * vis
 
     return col
 
