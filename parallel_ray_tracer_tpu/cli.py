@@ -127,9 +127,11 @@ def main(argv: Optional[list] = None) -> int:
         f"{cfg.bvh_heuristic}, sah_bins: {cfg.sah_bins}, leaf: "
         f"{pipe.leaf_size}, max_depth: {cfg.bvh_max_depth}, seed: {cfg.seed}, "
         f"fast_light: {cfg.fast_light}, bf16: {cfg.bf16_bvh}")
-    if pipe.bvh is not None:
+    if cfg.use_bvh:
         say(f"Time to build the bvh: {pipe.build_ms:.0f} ms")
-        say(pipe.bvh.metrics_banner())
+        banner = pipe.bvh_metrics_banner()
+        if banner:
+            say(banner)
     say(f"(total prepare: {prep_s:.1f} s)")
 
     mesh = None
@@ -185,7 +187,7 @@ def main(argv: Optional[list] = None) -> int:
             "config": dataclasses.asdict(cfg),
             "backend": jax.default_backend(),
             "build_ms": pipe.build_ms,
-            "bvh_stats": pipe.bvh.stats if pipe.bvh is not None else None,
+            "bvh_stats": pipe.bvh_stats,
             "times_ms": times,
             **stats,
         }

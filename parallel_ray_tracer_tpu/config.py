@@ -105,6 +105,10 @@ class RenderConfig:
     # Multi-device: number of mesh devices for image-tile sharding (1 = off).
     num_devices: int = 1
 
+    # Use the C++ host runtime (native/src/rtnative.cpp) for scene loading
+    # and BVH build/flatten/pack; falls back to NumPy when no toolchain.
+    use_native: bool = True
+
     def resolution(self) -> Tuple[int, int]:
         return (self.width, self.height)
 

@@ -130,25 +130,30 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
     tri[:, : TRI_STRIDE * L] = data.reshape(G, L * TRI_STRIDE)
 
     if bf16:
-        import ml_dtypes
-
-        lo_cols = list(range(0, 3)) + list(range(6, 9))
-        hi_cols = list(range(3, 6)) + list(range(9, 12))
-        bits = cbox.view(np.uint32) & np.uint32(0xFFFF0000)
-        f = bits.view(np.float32)
-        bump = bits + np.uint32(0x00010000)
-        out = bits.copy()
-        # min planes: round down (truncation raises negatives; push them back)
-        for c in lo_cols:
-            out[:, c] = np.where(f[:, c] > cbox[:, c], bump[:, c], bits[:, c])
-        # max planes: round up
-        for c in hi_cols:
-            out[:, c] = np.where(f[:, c] < cbox[:, c], bump[:, c], bits[:, c])
-        cbox = (
-            out.view(np.float32).astype(ml_dtypes.bfloat16)
-        )
+        cbox = cbox_to_bf16(cbox)
 
     return PackedBVH(cbox=cbox, cmeta=cmeta, tri=tri, leaf_size=L)
+
+
+def cbox_to_bf16(cbox: np.ndarray) -> np.ndarray:
+    """Conservative bf16 rounding of children-packed box rows: min planes
+    down, max planes up (see ops/bvh_flat.compress_bf16)."""
+    import ml_dtypes
+
+    lo_cols = list(range(0, 3)) + list(range(6, 9))
+    hi_cols = list(range(3, 6)) + list(range(9, 12))
+    cbox = np.ascontiguousarray(cbox, np.float32)
+    bits = cbox.view(np.uint32) & np.uint32(0xFFFF0000)
+    f = bits.view(np.float32)
+    bump = bits + np.uint32(0x00010000)
+    out = bits.copy()
+    # min planes: round down (truncation raises negatives; push them back)
+    for c in lo_cols:
+        out[:, c] = np.where(f[:, c] > cbox[:, c], bump[:, c], bits[:, c])
+    # max planes: round up
+    for c in hi_cols:
+        out[:, c] = np.where(f[:, c] < cbox[:, c], bump[:, c], bits[:, c])
+    return out.view(np.float32).astype(ml_dtypes.bfloat16)
 
 
 def _extract3(row, base: int):

@@ -40,6 +40,20 @@ class Pipeline:
     leaf_size: int
     stack_depth: int
     build_ms: float
+    bvh_stats: Optional[dict] = None
+
+    def bvh_metrics_banner(self) -> Optional[str]:
+        """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
+        s = self.bvh_stats
+        if not s:
+            return None
+        return (
+            f"min number of triangle: {int(s['min_leaf'])}\n"
+            f"max number of triangle: {int(s['max_leaf'])}\n"
+            f"avg number of triangle: {s['avg_leaf']:.2f}\n"
+            f"number of leaf: {int(s['leaf_count'])}\n"
+            f"bvh size (bytes): {int(s['bytes'])}"
+        )
 
     def camera(self) -> Camera:
         return Camera(
@@ -86,12 +100,22 @@ class Pipeline:
 
 def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     """Load assets, build + flatten + upload the BVH, stage the scene."""
+    native = None
+    if cfg.use_native:
+        from .native import builder as native
+
+        if not native.available():
+            native = None
+
     if scene is None:
         if cfg.synthetic_triangles > 0:
             scene = synthetic_scene(cfg.synthetic_triangles, seed=cfg.seed)
         else:
             try:
-                scene = load_scene(cfg.asset_dir())
+                asset_dir = cfg.asset_dir()
+                scene = (
+                    native.load_scene_native(asset_dir) if native else None
+                ) or load_scene(asset_dir)
             except FileNotFoundError:
                 # dragon/sportscar/two_cars OBJs are LFS-stripped upstream;
                 # regenerate deterministic substitutes (models/procgen.py).
@@ -112,21 +136,46 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     leaf_size = _pick_leaf_size(cfg)
 
     bvh = flat = dbvh = packed_dev = None
+    bvh_stats = None
     build_ms = 0.0
     stack_depth = 64
     ds_kwargs = {}
+    packed = None
 
     if cfg.use_bvh:
         t0 = time.perf_counter()
-        bvh = build_bvh(
-            tv,
-            heuristic=cfg.bvh_heuristic,
-            max_depth=cfg.bvh_max_depth,
-            leaf_threshold=max(cfg.leaf_threshold, leaf_size),
-            sah_bins=cfg.sah_bins,
-            seed=cfg.seed,
-        )
-        flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
+        res = None
+        if native is not None:
+            res = native.build_bvh_native(
+                tv,
+                heuristic=cfg.bvh_heuristic,
+                max_depth=cfg.bvh_max_depth,
+                leaf_threshold=max(cfg.leaf_threshold, leaf_size),
+                sah_bins=cfg.sah_bins,
+                seed=cfg.seed,
+                leaf_size=leaf_size,
+            )
+        if res is not None:
+            flat, packed, bvh_stats = res
+            if cfg.bf16_bvh:
+                packed = pallas_trace.PackedBVH(
+                    cbox=pallas_trace.cbox_to_bf16(packed.cbox),
+                    cmeta=packed.cmeta,
+                    tri=packed.tri,
+                    leaf_size=packed.leaf_size,
+                )
+        else:
+            bvh = build_bvh(
+                tv,
+                heuristic=cfg.bvh_heuristic,
+                max_depth=cfg.bvh_max_depth,
+                leaf_threshold=max(cfg.leaf_threshold, leaf_size),
+                sah_bins=cfg.sah_bins,
+                seed=cfg.seed,
+            )
+            flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
+            packed = pallas_trace.pack_bvh(flat, tv, bf16=cfg.bf16_bvh)
+            bvh_stats = bvh.stats
         build_ms = (time.perf_counter() - t0) * 1e3
         ds_kwargs["slot_map"] = flat.slot_map
 
@@ -136,7 +185,6 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         dbvh, _, stack_depth = trace_bvh.device_bvh_from_flat(
             flat, bf16=cfg.bf16_bvh
         )
-        packed = pallas_trace.pack_bvh(flat, tv, bf16=cfg.bf16_bvh)
         packed_dev = (
             jnp.asarray(packed.cbox),
             jnp.asarray(packed.cmeta),
@@ -154,6 +202,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         leaf_size=leaf_size,
         stack_depth=stack_depth,
         build_ms=build_ms,
+        bvh_stats=bvh_stats,
     )
 
 

@@ -1,0 +1,96 @@
+"""Native C++ host runtime vs the NumPy reference implementations."""
+
+import numpy as np
+import pytest
+
+from parallel_ray_tracer_tpu.native import builder as nb
+
+pytestmark = pytest.mark.skipif(
+    not nb.available(), reason="native toolchain unavailable"
+)
+
+ASSET = "/root/reference/assets/car_only"
+
+
+class TestNativeSceneLoader:
+    def test_exact_parity_with_python_parser(self, car_only_scene):
+        sc = nb.load_scene_native(ASSET)
+        assert np.array_equal(sc.verts, car_only_scene.verts)
+        assert np.array_equal(sc.faces, car_only_scene.faces)
+        assert np.array_equal(sc.mat_idx, car_only_scene.mat_idx)
+        assert np.array_equal(sc.mats_kd, car_only_scene.mats_kd)
+        assert np.array_equal(sc.mats_ks, car_only_scene.mats_ks)
+        assert np.array_equal(sc.mats_kr, car_only_scene.mats_kr)
+        assert np.array_equal(sc.lights_pos, car_only_scene.lights_pos)
+        assert np.array_equal(sc.lights_kl, car_only_scene.lights_kl)
+
+
+class TestNativeBVH:
+    @pytest.mark.parametrize("heuristic", [0, 1, 3, 4, 5, 6])
+    def test_invariants(self, tiny_scene, heuristic):
+        tv = tiny_scene.triangle_vertices()
+        flat, packed, stats = nb.build_bvh_native(
+            tv, heuristic=heuristic, leaf_threshold=2, leaf_size=4
+        )
+        live = flat.slot_map[flat.slot_map >= 0]
+        assert sorted(live.tolist()) == list(range(tv.shape[0]))
+        assert (flat.count[flat.count > 0] <= 4).all()
+        assert packed.n_groups == flat.n_slots // 4
+        assert stats["leaf_count"] > 0
+
+    def test_render_matches_oracle(self, car_only_scene):
+        import jax.numpy as jnp
+        from parallel_ray_tracer_tpu.models.camera import default_camera
+        from parallel_ray_tracer_tpu.models.device_scene import (
+            device_scene_from_host,
+        )
+        from parallel_ray_tracer_tpu.ops import trace_bvh
+        from parallel_ray_tracer_tpu.ops.render import (
+            render_bruteforce,
+            render_bvh_jax,
+        )
+
+        tv = car_only_scene.triangle_vertices()
+        flat, packed, _ = nb.build_bvh_native(
+            tv, heuristic=6, leaf_threshold=8, leaf_size=8
+        )
+        ds = device_scene_from_host(car_only_scene, slot_map=flat.slot_map)
+        dbvh, _, depth = trace_bvh.device_bvh_from_flat(flat)
+        cam = default_camera()
+        img = np.asarray(
+            render_bvh_jax(
+                ds, dbvh, cam, 64, 36, bounces=2, leaf_size=8,
+                stack_depth=depth, tile_rows=8, tile_cols=32,
+            )
+        )
+        ds_p = device_scene_from_host(car_only_scene)
+        ref = np.asarray(
+            render_bruteforce(ds_p, cam, 64, 36, bounces=2, row_chunk=6)
+        )
+        np.testing.assert_allclose(img, ref, atol=1e-4)
+
+    def test_pipeline_uses_native(self, tiny_scene):
+        from parallel_ray_tracer_tpu.config import RenderConfig
+        from parallel_ray_tracer_tpu import pipeline
+
+        cfg = RenderConfig(
+            width=48, height=32, bounces=2, tile_rows=32, tile_cols=32,
+            bvh_heuristic=6, use_native=True,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        assert pipe.bvh is None  # native path skips the NumPy tree
+        assert pipe.bvh_stats is not None
+        img = np.asarray(pipe.render(variant="jax"))
+        ref = np.asarray(pipe.render(variant="bruteforce"))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+    def test_deterministic_per_seed(self, tiny_scene):
+        tv = tiny_scene.triangle_vertices()
+        a = nb.build_bvh_native(tv, heuristic=3, seed=7)
+        b = nb.build_bvh_native(tv, heuristic=3, seed=7)
+        c = nb.build_bvh_native(tv, heuristic=3, seed=8)
+        assert np.array_equal(a[0].slot_map, b[0].slot_map)
+        assert np.array_equal(a[1].cbox, b[1].cbox)
+        # different seed may (usually does) give a different random tree;
+        # only determinism per seed is contractual, so no assert on c.
+        assert c is not None
