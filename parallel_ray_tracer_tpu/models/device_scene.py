@@ -96,7 +96,25 @@ def build_device_scene(
         faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)], axis=0)
         mat_idx = np.concatenate([mat_idx, np.zeros(pad, np.int32)], axis=0)
 
-    faces = jnp.asarray(faces)
+    amb = np.asarray(ambient, np.float32)
+    # One jitted assembly = one device dispatch: the eager form is ~30
+    # separate dispatches, which is painfully slow through a remote-TPU
+    # tunnel (~30 ms overhead each).
+    return _assemble(
+        verts,
+        jnp.asarray(faces),
+        jnp.asarray(mat_idx),
+        jnp.asarray(mats_kd, jnp.float32),
+        jnp.asarray(mats_ks, jnp.float32),
+        jnp.asarray(mats_kr, jnp.float32),
+        jnp.asarray(lights_pos, jnp.float32),
+        jnp.asarray(lights_kl, jnp.float32),
+        jnp.asarray(amb),
+    )
+
+
+@jax.jit
+def _assemble(verts, faces, mat_idx, kd, ks, kr, lights_pos, lights_kl, amb):
     tv = verts[faces]                      # (T, 3, 3) gather from param buffer
     v0 = from_array(tv[:, 0])
     v1 = from_array(tv[:, 1])
@@ -111,19 +129,18 @@ def build_device_scene(
     mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
     n0 = (n / mag).where(mag2 > 0, Vec3(n.x * 0, n.y * 0, n.z * 0))
 
-    amb = np.asarray(ambient, np.float32)
     return DeviceScene(
         v0=v0,
         v1=v1,
         v2=v2,
         n0=n0,
-        mat_idx=jnp.asarray(mat_idx),
-        kd=from_array(jnp.asarray(mats_kd, jnp.float32)),
-        ks=from_array(jnp.asarray(mats_ks, jnp.float32)),
-        kr=from_array(jnp.asarray(mats_kr, jnp.float32)),
-        lights_pos=from_array(jnp.asarray(lights_pos, jnp.float32)),
-        lights_kl=from_array(jnp.asarray(lights_kl, jnp.float32)),
-        ambient=Vec3(jnp.float32(amb[0]), jnp.float32(amb[1]), jnp.float32(amb[2])),
+        mat_idx=mat_idx,
+        kd=from_array(kd),
+        ks=from_array(ks),
+        kr=from_array(kr),
+        lights_pos=from_array(lights_pos),
+        lights_kl=from_array(lights_kl),
+        ambient=Vec3(amb[0], amb[1], amb[2]),
     )
 
 
