@@ -41,6 +41,11 @@ class DeviceScene(NamedTuple):
     lights_kl: Vec3
     # Ambient light, scalars.
     ambient: Vec3
+    # Sphere primitives (S,) — first-class here, vestigial in the reference
+    # (empty spheres.obj; see ops/spheres.py).
+    sph_c: Vec3
+    sph_r: jax.Array
+    sph_mat: jax.Array
 
     @property
     def num_triangles(self) -> int:
@@ -64,6 +69,9 @@ def build_device_scene(
     perm: Optional[np.ndarray] = None,
     pad_to: Optional[int] = None,
     slot_map: Optional[np.ndarray] = None,
+    spheres_center=None,
+    spheres_radius=None,
+    spheres_mat=None,
 ) -> DeviceScene:
     """Assemble the device pytree from a vertex buffer + topology.
 
@@ -97,6 +105,12 @@ def build_device_scene(
         mat_idx = np.concatenate([mat_idx, np.zeros(pad, np.int32)], axis=0)
 
     amb = np.asarray(ambient, np.float32)
+    if spheres_center is None:
+        spheres_center = np.zeros((0, 3), np.float32)
+    if spheres_radius is None:
+        spheres_radius = np.zeros((0,), np.float32)
+    if spheres_mat is None:
+        spheres_mat = np.zeros((0,), np.int32)
     # One jitted assembly = one device dispatch: the eager form is ~30
     # separate dispatches, which is painfully slow through a remote-TPU
     # tunnel (~30 ms overhead each).
@@ -110,11 +124,15 @@ def build_device_scene(
         jnp.asarray(lights_pos, jnp.float32),
         jnp.asarray(lights_kl, jnp.float32),
         jnp.asarray(amb),
+        jnp.asarray(spheres_center, jnp.float32),
+        jnp.asarray(spheres_radius, jnp.float32),
+        jnp.asarray(spheres_mat, jnp.int32),
     )
 
 
 @jax.jit
-def _assemble(verts, faces, mat_idx, kd, ks, kr, lights_pos, lights_kl, amb):
+def _assemble(verts, faces, mat_idx, kd, ks, kr, lights_pos, lights_kl, amb,
+              sph_c, sph_r, sph_mat):
     tv = verts[faces]                      # (T, 3, 3) gather from param buffer
     v0 = from_array(tv[:, 0])
     v1 = from_array(tv[:, 1])
@@ -141,6 +159,9 @@ def _assemble(verts, faces, mat_idx, kd, ks, kr, lights_pos, lights_kl, amb):
         lights_pos=from_array(lights_pos),
         lights_kl=from_array(lights_kl),
         ambient=Vec3(amb[0], amb[1], amb[2]),
+        sph_c=from_array(sph_c),
+        sph_r=sph_r,
+        sph_mat=sph_mat,
     )
 
 
@@ -160,4 +181,7 @@ def device_scene_from_host(
         perm=perm,
         pad_to=pad_to,
         slot_map=slot_map,
+        spheres_center=scene.spheres_center,
+        spheres_radius=scene.spheres_radius,
+        spheres_mat=scene.spheres_mat,
     )

@@ -42,10 +42,26 @@ class Scene:
     mats_kr: np.ndarray
     lights_pos: np.ndarray
     lights_kl: np.ndarray
+    # Sphere primitives (first-class here; vestigial in the reference —
+    # assets/car_only/spheres.obj is empty, cpu/src/raytracer.c:61 mentions
+    # them in a comment only). Format: see load_spheres.
+    spheres_center: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3), np.float32)
+    )
+    spheres_radius: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.float32)
+    )
+    spheres_mat: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.int32)
+    )
 
     @property
     def num_triangles(self) -> int:
         return int(self.faces.shape[0])
+
+    @property
+    def num_spheres(self) -> int:
+        return int(self.spheres_radius.shape[0])
 
     @property
     def num_lights(self) -> int:
@@ -193,8 +209,36 @@ def load_lights(text: str) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
+def load_spheres(text: str):
+    """Parse sphere rows `cx cy cz r [mat_index]` (one per line).
+
+    The reference ships an empty assets/car_only/spheres.obj and never
+    parses it; this format makes the file meaningful (mat_index refers to
+    the same material table as triangles; defaults to 0).
+    """
+    centers: List[Tuple[float, float, float]] = []
+    radii: List[float] = []
+    mats: List[int] = []
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        try:
+            vals = [float(p) for p in parts[:4]]
+        except ValueError:
+            continue
+        centers.append((vals[0], vals[1], vals[2]))
+        radii.append(vals[3])
+        mats.append(int(float(parts[4])) if len(parts) > 4 else 0)
+    return (
+        np.asarray(centers, np.float32).reshape(-1, 3),
+        np.asarray(radii, np.float32).reshape(-1),
+        np.asarray(mats, np.int32).reshape(-1),
+    )
+
+
 def load_scene(asset_dir: str) -> Scene:
-    """Load `<dir>/{triangles.obj, triangles.mtl, lights.obj}`."""
+    """Load `<dir>/{triangles.obj, triangles.mtl, lights.obj[, spheres.obj]}`."""
     with open(os.path.join(asset_dir, "triangles.obj")) as f:
         obj_text = f.read()
     with open(os.path.join(asset_dir, "triangles.mtl")) as f:
@@ -204,6 +248,11 @@ def load_scene(asset_dir: str) -> Scene:
     if os.path.exists(lights_path):
         with open(lights_path) as f:
             scene.lights_pos, scene.lights_kl = load_lights(f.read())
+    spheres_path = os.path.join(asset_dir, "spheres.obj")
+    if os.path.exists(spheres_path):
+        with open(spheres_path) as f:
+            c, r, m = load_spheres(f.read())
+        scene.spheres_center, scene.spheres_radius, scene.spheres_mat = c, r, m
     return scene
 
 

@@ -48,12 +48,33 @@ def _stop_hit(hit: Hit) -> Hit:
 
 
 def _recompute_tuv(ds, o: Vec3, d: Vec3, hit: Hit):
-    """Differentiable (t, u, v) for the (fixed) winning triangles."""
-    safe = jnp.maximum(hit.idx, 0)
+    """Differentiable (t, u, v) for the (fixed) winning primitives.
+
+    Triangle slots recompute Möller–Trumbore; sphere slots (idx >= T,
+    ops/spheres.py index space) recompute the quadratic root, so sphere
+    centers/radii also receive gradients. u, v are triangle-only
+    (barycentric); sphere lanes carry a large interior margin so the
+    soft-shadow edge term is inert for them.
+    """
+    T = ds.v0.x.shape[0]
+    safe = jnp.clip(hit.idx, 0, T - 1)
     v0 = _gather_vec(ds.v0, safe)
     v1 = _gather_vec(ds.v1, safe)
     v2 = _gather_vec(ds.v2, safe)
     t, u, v = moller_trumbore_t(o, d, v0, v1, v2)
+
+    S = ds.sph_c.x.shape[0]
+    if S:
+        from .intersect import ray_sphere
+
+        is_sph = hit.idx >= T
+        sidx = jnp.clip(hit.idx - T, 0, S - 1)
+        c = Vec3(ds.sph_c.x[sidx], ds.sph_c.y[sidx], ds.sph_c.z[sidx])
+        hs = ray_sphere(o, d, c, ds.sph_r[sidx])
+        t = jnp.where(is_sph, hs.t, t)
+        u = jnp.where(is_sph, 1.0 / 3.0, u)
+        v = jnp.where(is_sph, 1.0 / 3.0, v)
+
     valid = hit.idx >= 0
     # Primal parity: the recomputed t equals the tracer's t up to op
     # reassociation; keep the recompute as the primal so forward==backward.

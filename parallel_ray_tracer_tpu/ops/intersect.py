@@ -148,10 +148,15 @@ def ray_sphere(o: Vec3, d: Vec3, center: Vec3, radius) -> SphereHit:
     half_b = oc.dot(d)
     c = oc.dot(oc) - radius * radius
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-half_b - sq) / a
-    t1 = (-half_b + sq) / a
+    # Guarded sqrt/denominator: keeps forward results identical for real
+    # hits (disc > 0, a > 0) while reverse-mode AD stays finite on miss and
+    # masked (d == 0) lanes, where the zero cotangent would otherwise meet
+    # an infinite partial (0 * inf = NaN).
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+    a_safe = jnp.where(a > 1e-20, a, jnp.float32(1.0))
+    t0 = (-half_b - sq) / a_safe
+    t1 = (-half_b + sq) / a_safe
     t = jnp.where(t0 > EPSILON, t0, t1)
-    hit = (disc >= 0.0) & (t > EPSILON)
+    hit = (disc >= 0.0) & (t > EPSILON) & (a > 1e-20)
     inside = c < 0.0
     return SphereHit(t=jnp.where(hit, t, T_MAX), inside=inside)

@@ -56,6 +56,11 @@ SUBLANES = 8
 PACKET = LANES * SUBLANES            # rays per grid step
 TRI_STRIDE = 12                      # floats per triangle in a group row
 STACK_DEPTH = 96
+# Scene arrays (node rows + triangle groups) stay VMEM-resident across the
+# whole grid; the compiler's default scoped-vmem limit (16 MB) is far below
+# the v5e's physical VMEM, so raise it to admit dragon-class scenes
+# (~200k triangles ~= 30 MB resident; measured capacity > 61 MB).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 @dataclasses.dataclass
@@ -385,6 +390,9 @@ def closest_tiles(
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri)
     return Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
@@ -408,15 +416,20 @@ def occluded_tiles(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri)
     return blocked.astype(bool)
 
 
-def make_tracer(packed_dev, leaf_size: int, interpret: bool = False):
+def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
-    packed_dev: (cbox, cmeta, tri) device arrays from a PackedBVH.
+    packed_dev: (cbox, cmeta, tri) device arrays from a PackedBVH. The
+    kernels handle triangles; pass `ds` to extend with the dense sphere
+    post-pass (ops/spheres.py).
     """
     cbox, cmeta, tri = packed_dev
 
@@ -445,4 +458,8 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False):
         )
         return blocked.reshape(R)
 
+    if ds is not None:
+        from .spheres import wrap_tracer
+
+        return wrap_tracer(ds, closest, occluded)
     return closest, occluded

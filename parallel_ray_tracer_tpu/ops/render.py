@@ -242,7 +242,7 @@ def _render_bvh_pallas(
 
     o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
     closest_fn, occluded_fn = pallas_trace.make_tracer(
-        packed_dev, leaf_size, interpret=interpret
+        packed_dev, leaf_size, interpret=interpret, ds=ds
     )
     if not fast_light:
         occluded_fn = occluded_from_closest(closest_fn)

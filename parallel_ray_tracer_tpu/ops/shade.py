@@ -81,6 +81,19 @@ def _bcast_scalar_vec(v: Vec3, i: int, like: jax.Array) -> Vec3:
     )
 
 
+def surface_normal_mat(ds, hit: Hit, p: Vec3):
+    """(unflipped normal, material index) at the hit points, for both
+    primitive kinds: triangle slots in [0, T), spheres in [T, T + S)
+    (ops/spheres.py index-space extension)."""
+    T = ds.v0.x.shape[0]
+    safe_idx = jnp.clip(hit.idx, 0, T - 1)
+    n_tri = _gather_vec(ds.n0, safe_idx)
+    mi_tri = ds.mat_idx[safe_idx]
+    from .spheres import surface_frame
+
+    return surface_frame(ds, hit, p, n_tri, mi_tri)
+
+
 def shade_hit(
     ds,
     occluded_fn: OccludedFn,
@@ -98,15 +111,13 @@ def shade_hit(
     zero direction, which makes every AABB/triangle test miss, so packet
     traversal skips them at zero cost (dead-lane culling).
     """
-    safe_idx = jnp.maximum(hit.idx, 0)
     t_safe = jnp.where(hit.idx >= 0, hit.t, 1.0)
     if active is None:
         active = hit.idx >= 0
 
     p = o + d * t_safe
-    n = _gather_vec(ds.n0, safe_idx)
+    n, mi = surface_normal_mat(ds, hit, p)
     n = (-n).where(hit.norm_dir, n)
-    mi = ds.mat_idx[safe_idx]
     kd = _gather_vec(ds.kd, mi)
     ks = _gather_vec(ds.ks, mi)
 
@@ -180,15 +191,13 @@ def trace_rays(
         # Early exit check happens BEFORE the kr update (raytracer.cu:103-106).
         alive = alive & (mult.mag2() >= EPSILON * EPSILON)
 
-        safe_idx = jnp.maximum(hit.idx, 0)
-        mi = ds.mat_idx[safe_idx]
+        t_safe = jnp.where(is_hit, hit.t, 1.0)
+        p = o + d * t_safe
+        n, mi = surface_normal_mat(ds, hit, p)
         kr = _gather_vec(ds.kr, mi)
         mult = mult * kr
 
         # Reflection ray (raytracer.cu:109-114).
-        t_safe = jnp.where(is_hit, hit.t, 1.0)
-        p = o + d * t_safe
-        n = _gather_vec(ds.n0, safe_idx)
         n = (-n).where(hit.norm_dir, n)
         refl = d + n * (2.0 * jnp.abs(d.dot(n)))
         rmag = jnp.sqrt(jnp.maximum(refl.mag2(), 1e-30))

@@ -110,7 +110,10 @@ def occluded(ds, o: Vec3, d: Vec3, max_dist2: jax.Array, chunk: int = 512):
 
 def make_tracer(ds, chunk: int = 512):
     """Bind a (closest_hit, occluded) pair for the shade loop."""
-    return (
+    from .spheres import wrap_tracer
+
+    return wrap_tracer(
+        ds,
         lambda o, d: closest_hit(ds, o, d, chunk=chunk),
         lambda o, d, m2: occluded(ds, o, d, m2, chunk=chunk),
     )

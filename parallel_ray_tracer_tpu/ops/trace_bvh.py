@@ -236,7 +236,9 @@ def make_tracer(bvh: DeviceBVH, ds, leaf_size: int, stack_depth: int, packet: in
 
     Rays are traced packet-by-packet with lax.map — the sequential-grid analog
     of the Pallas kernel; each packet is already full-VPU-width work.
+    Sphere primitives are tested in a dense post-pass (ops/spheres.py).
     """
+    from .spheres import wrap_tracer
 
     def closest(o: Vec3, d: Vec3) -> Hit:
         R = o.x.shape[0]
@@ -275,4 +277,4 @@ def make_tracer(bvh: DeviceBVH, ds, leaf_size: int, stack_depth: int, packet: in
         )
         return blocked.reshape(R)
 
-    return closest, occluded
+    return wrap_tracer(ds, closest, occluded)

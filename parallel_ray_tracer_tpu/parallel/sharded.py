@@ -110,7 +110,7 @@ def _render_sharded(
         df = d_sh.reshape(nt_local * K)
         if variant == "pallas":
             closest_fn, occluded_fn = pallas_trace.make_tracer(
-                tracer_r, leaf_size, interpret=interpret
+                tracer_r, leaf_size, interpret=interpret, ds=ds_r
             )
         elif variant == "jax":
             closest_fn, occluded_fn = trace_bvh.make_tracer(
