@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="USE_BVH_FAST_LIGHT=0: closest-hit shadow traversal")
     p.add_argument("--bf16-bvh", action="store_true",
                    help="bf16-compressed BVH boxes (conservative rounding)")
+    p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4),
+                   help="traversal node arity (4 = grandchildren-packed rows)")
     p.add_argument("--tile", default="32x32",
                    help="pixel tile shape ROWSxCOLS (1024 rays per packet)")
     p.add_argument("--iterations", type=int, default=1)
@@ -96,6 +98,7 @@ def config_from_args(args) -> RenderConfig:
         tile_cols=tc,
         variant=args.variant if not args.no_bvh else "bruteforce",
         bf16_bvh=args.bf16_bvh,
+        bvh_width=args.bvh_width,
         synthetic_triangles=args.synthetic,
         asset_root=args.asset_root,
         num_devices=args.devices,

