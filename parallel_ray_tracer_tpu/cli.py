@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write run metrics as JSON")
     p.add_argument("--interpret", action="store_true",
                    help="run Pallas kernels in interpreter mode (debug)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed "
+                        "iterations into DIR (the Nsight-capture analog, "
+                        "gpu/src/gpu.cu:109-111)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -166,6 +170,12 @@ def main(argv: Optional[list] = None) -> int:
         jax.block_until_ready(render_once())
         say(f"Warmup {i}: {(time.perf_counter()-t0)*1e3:.3f} ms")
 
+    profile_ctx = None
+    if args.profile:
+        from .utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
     times = []
     img = None
     for i in range(cfg.iterations):
@@ -174,6 +184,9 @@ def main(argv: Optional[list] = None) -> int:
         jax.block_until_ready(img)
         times.append((time.perf_counter() - t0) * 1e3)
         say(f"Iteration {i}: {times[-1]:.3f} ms")
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        say(f"Wrote profiler trace to {args.profile}")
 
     stats = summarize(times)
     say(format_summary(stats))
