@@ -1,0 +1,27 @@
+# Convenience targets (the reference's cpu/makefile + gpu/makefile analog:
+# here the device code is jit-compiled, so `make` only builds the native
+# host runtime and drives tests/benchmarks).
+
+PY ?= python
+
+.PHONY: all native test bench sweep clean
+
+all: native
+
+native: parallel_ray_tracer_tpu/native/librtnative.so
+
+parallel_ray_tracer_tpu/native/librtnative.so: parallel_ray_tracer_tpu/native/src/rtnative.cpp
+	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@
+
+test: native
+	$(PY) -m pytest tests/ -q
+
+bench: native
+	$(PY) bench.py
+
+sweep: native
+	$(PY) scripts/sweep.py
+
+clean:
+	rm -f parallel_ray_tracer_tpu/native/librtnative.so
+	rm -rf metrics/
