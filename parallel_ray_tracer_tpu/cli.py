@@ -147,9 +147,20 @@ def main(argv: Optional[list] = None) -> int:
 
         mesh = sharded.make_mesh(cfg.num_devices)
 
-    def render_once():
+    def render_once(i=0):
+        # Sub-pixel camera jitter per iteration: harmless to the image, but
+        # defeats result caching in remote-dispatch environments that would
+        # otherwise return the identical frame without recomputing.
+        from .models.camera import Camera
+
+        base = pipe.camera()
+        cam = Camera(
+            pos=(base.pos[0] + i * 1e-7, base.pos[1], base.pos[2]),
+            rot=base.rot,
+            fov=base.fov,
+        )
         if mesh is None:
-            return pipe.render(interpret=args.interpret)
+            return pipe.render(cam=cam, interpret=args.interpret)
         from .parallel import sharded
 
         tracer_data = {
@@ -158,16 +169,23 @@ def main(argv: Optional[list] = None) -> int:
             "bruteforce": pipe.ds,
         }[cfg.variant]
         return sharded.render_sharded(
-            pipe.ds, tracer_data, pipe.camera(), cfg.width, cfg.height, mesh,
+            pipe.ds, tracer_data, cam, cfg.width, cfg.height, mesh,
             bounces=cfg.bounces, leaf_size=pipe.leaf_size,
             stack_depth=pipe.stack_depth, tile_rows=cfg.tile_rows,
             tile_cols=cfg.tile_cols, variant=cfg.variant,
             interpret=args.interpret,
         )
 
+    import jax.numpy as jnp
+
+    def fence(x):
+        # block_until_ready alone is not a reliable completion barrier
+        # through remote-dispatch tunnels; fetching a reduced scalar is.
+        return float(jnp.sum(x))
+
     for i in range(cfg.warmup):
         t0 = time.perf_counter()
-        jax.block_until_ready(render_once())
+        fence(render_once(10_000 + i))
         say(f"Warmup {i}: {(time.perf_counter()-t0)*1e3:.3f} ms")
 
     profile_ctx = None
@@ -180,8 +198,8 @@ def main(argv: Optional[list] = None) -> int:
     img = None
     for i in range(cfg.iterations):
         t0 = time.perf_counter()
-        img = render_once()
-        jax.block_until_ready(img)
+        img = render_once(i)
+        fence(img)
         times.append((time.perf_counter() - t0) * 1e3)
         say(f"Iteration {i}: {times[-1]:.3f} ms")
     if profile_ctx is not None:

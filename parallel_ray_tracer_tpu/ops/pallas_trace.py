@@ -442,12 +442,17 @@ def _occluded_kernel(L: int):
                 mrow = cmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 ml, mr = _slab_pair(crow, o, inv, t_cut)
-                # unordered push (any-hit has no near-first payoff,
-                # cpu/src/bvh.c:298-313); left pops first.
-                stack[sp] = mrow[0, 1]
-                sp = sp + (mr < T_MAX).astype(jnp.int32)
-                stack[sp] = mrow[0, 0]
-                sp = sp + (ml < T_MAX).astype(jnp.int32)
+                # Near-first ordering: the reference pushes unordered
+                # (cpu/src/bvh.c:298-313), but popping probable blockers
+                # first lets lanes block sooner, collapsing their t_cut and
+                # pruning later visits (~10% fewer in simulation).
+                left_near = ml <= mr
+                near_e = jnp.where(left_near, mrow[0, 0], mrow[0, 1])
+                far_e = jnp.where(left_near, mrow[0, 1], mrow[0, 0])
+                stack[sp] = far_e
+                sp = sp + (jnp.where(left_near, mr, ml) < T_MAX).astype(jnp.int32)
+                stack[sp] = near_e
+                sp = sp + (jnp.where(left_near, ml, mr) < T_MAX).astype(jnp.int32)
                 return sp, blocked, all_blocked
 
             return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, blocked, all_blocked))
@@ -588,11 +593,18 @@ def _occluded4_kernel(L: int):
                 qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = qmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                ms = _slab_quad(qrow, o, inv, t_cut)
+                ms = list(_slab_quad(qrow, o, inv, t_cut))
+                # Near-first (see the binary kernel's note): sort so probable
+                # blockers pop first; invalid slots sort last and never push.
+                ms = [
+                    jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
+                    for k in range(4)
+                ]
+                es = [mrow[0, k] for k in range(4)]
+                ms, es = _sort4(ms, es)
                 for k in (3, 2, 1, 0):
-                    stack[sp] = mrow[0, k]
-                    push = (ms[k] < T_MAX) & (mrow[0, 4 + k] > 0)
-                    sp = sp + push.astype(jnp.int32)
+                    stack[sp] = es[k]
+                    sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 return sp, blocked, all_blocked
 
             return jax.lax.cond(
