@@ -155,11 +155,17 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 seed=cfg.seed,
                 leaf_size=leaf_size,
             )
+        # bf16 box rows compile on the portable (jax) path and in Pallas
+        # interpret mode; the compiled TPU kernels cannot yet dynamically
+        # slice single rows of 16-bit arrays (Mosaic sublane granularity),
+        # so the packed arrays stay f32 there. dbvh (jax variant) still
+        # honors bf16_bvh.
+        packed_bf16 = cfg.bf16_bvh and _pallas_bf16_supported()
         if res is not None:
             flat, packed, bvh_stats = res
             if cfg.bvh_width == 4:
-                packed = pallas_trace.pack_bvh4(flat, tv, bf16=cfg.bf16_bvh)
-            elif cfg.bf16_bvh:
+                packed = pallas_trace.pack_bvh4(flat, tv, bf16=packed_bf16)
+            elif packed_bf16:
                 packed = pallas_trace.PackedBVH(
                     cbox=pallas_trace.cbox_to_bf16(packed.cbox),
                     cmeta=packed.cmeta,
@@ -180,7 +186,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 pallas_trace.pack_bvh4 if cfg.bvh_width == 4
                 else pallas_trace.pack_bvh
             )
-            packed = pack_fn(flat, tv, bf16=cfg.bf16_bvh)
+            packed = pack_fn(flat, tv, bf16=packed_bf16)
             bvh_stats = bvh.stats
         build_ms = (time.perf_counter() - t0) * 1e3
         ds_kwargs["slot_map"] = flat.slot_map
@@ -210,6 +216,12 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         build_ms=build_ms,
         bvh_stats=bvh_stats,
     )
+
+
+def _pallas_bf16_supported() -> bool:
+    """Compiled Mosaic kernels reject dynamic single-row slices of 16-bit
+    arrays (sublane granularity 16); interpret mode (CPU tests) is fine."""
+    return jax.default_backend() != "tpu"
 
 
 def _pick_leaf_size(cfg: RenderConfig) -> int:
