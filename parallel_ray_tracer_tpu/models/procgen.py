@@ -164,8 +164,8 @@ def _transform(verts: np.ndarray, rot_z: float, scale: float, offset) -> np.ndar
 def two_cars_scene(car_asset_dir: str, seed: int = 1) -> Scene:
     """Two transformed instances of the car_only geometry; 2 lights."""
     base = load_scene(car_asset_dir)
-    v1 = _transform(base.verts, rot_z=0.35, scale=1.0, offset=(-2.2, 0.8, 0.0))
-    v2 = _transform(base.verts, rot_z=-0.5, scale=1.0, offset=(2.4, -0.6, 0.0))
+    v1 = _transform(base.verts, rot_z=0.35, scale=1.0, offset=(-3.4, 2.2, 0.0))
+    v2 = _transform(base.verts, rot_z=-0.5, scale=1.0, offset=(3.2, -1.2, 0.0))
     verts = np.concatenate([v1, v2], axis=0)
     faces = np.concatenate(
         [base.faces, base.faces + base.verts.shape[0]], axis=0
