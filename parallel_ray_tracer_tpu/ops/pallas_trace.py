@@ -48,7 +48,7 @@ from .intersect import EPSILON, INV_DIR_MAX
 
 # Plain Python float (jnp scalars would be captured as constants by kernels).
 T_MAX = 3.4028235e38
-from .trace_brute import Hit
+from .trace_brute import Hit, HitFull
 from .vecmath import Vec3
 
 LANES = 128
@@ -624,6 +624,123 @@ def _occluded4_kernel(L: int):
     return kernel
 
 
+ATTR_STRIDE = 9  # kd(3), ks(3), kr(3) per triangle in an attr row
+
+
+def pack_attr(flat: FlatBVH, mat_idx, mats_kd, mats_ks, mats_kr) -> np.ndarray:
+    """(G, 128) attribute rows: triangle j's [kd, ks, kr] at lanes [9j, 9j+9).
+
+    Lets the closest-hit kernels resolve shading attributes with masked
+    selects at leaf time instead of per-lane gathers afterwards (HitFull).
+    Pad slots keep zeros (they can never win a hit anyway).
+    """
+    L = flat.leaf_size
+    sm = flat.slot_map
+    G = flat.n_slots // L
+    safe = np.maximum(sm, 0)
+    mi = np.asarray(mat_idx, np.int32)[safe]
+    kd = np.asarray(mats_kd, np.float32)[mi]
+    ks = np.asarray(mats_ks, np.float32)[mi]
+    kr = np.asarray(mats_kr, np.float32)[mi]
+    data = np.concatenate([kd, ks, kr], axis=1)          # (S, 9)
+    data[sm < 0] = 0.0
+    attr = np.zeros((G, LANES), np.float32)
+    attr[:, : ATTR_STRIDE * L] = data.reshape(G, L * ATTR_STRIDE)
+    return attr
+
+
+def _attr_leaf_update(o, d, tri_row, arow, g, j, L, t, idx, nd, av):
+    """One triangle test + attribute-tracking select updates."""
+    tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
+    better = tj < t
+    t = jnp.where(better, tj, t)
+    idx = jnp.where(better, g * L + j, idx)
+    nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+    scal = (
+        *_extract3(tri_row, TRI_STRIDE * j + 9),       # unnormalized n
+        *_extract3(arow, ATTR_STRIDE * j),             # kd
+        *_extract3(arow, ATTR_STRIDE * j + 3),         # ks
+        *_extract3(arow, ATTR_STRIDE * j + 6),         # kr
+    )
+    av = tuple(jnp.where(better, s, a) for s, a in zip(scal, av))
+    return t, idx, nd, av
+
+
+def _closest_attr_kernel(L: int, wide: bool):
+    """Closest hit + surface attributes (12 extra carried planes)."""
+
+    def kernel(ox, oy, oz, dx, dy, dz, cbox, cmeta, tri, attr,
+               t_out, idx_out, nd_out, *rest):
+        outs = rest[:12]
+        stack = rest[12]
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        stack[0] = jnp.int32(0)
+
+        def leaf(g, t, idx, nd, av):
+            tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+            arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
+            for j in range(L):
+                t, idx, nd, av = _attr_leaf_update(
+                    o, d, tri_row, arow, g, j, L, t, idx, nd, av
+                )
+            return t, idx, nd, av
+
+        def body(state):
+            sp, t, idx, nd, av = state
+            sp = sp - 1
+            e = stack[sp]
+
+            def do_leaf(args):
+                sp, t, idx, nd, av = args
+                t, idx, nd, av = leaf(-e - 1, t, idx, nd, av)
+                return sp, t, idx, nd, av
+
+            def do_inner(args):
+                sp, t, idx, nd, av = args
+                crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mrow = cmeta[pl.ds(e, 1), :]
+                if wide:
+                    ms = list(_slab_quad(crow, o, inv, t))
+                    ms = [
+                        jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
+                        for k in range(4)
+                    ]
+                    es = [mrow[0, k] for k in range(4)]
+                    ms, es = _sort4(ms, es)
+                    for k in (3, 2, 1, 0):
+                        stack[sp] = es[k]
+                        sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
+                else:
+                    ml, mr = _slab_pair(crow, o, inv, t)
+                    left_near = ml <= mr
+                    near_e = jnp.where(left_near, mrow[0, 0], mrow[0, 1])
+                    far_e = jnp.where(left_near, mrow[0, 1], mrow[0, 0])
+                    stack[sp] = far_e
+                    sp = sp + (jnp.where(left_near, mr, ml) < T_MAX).astype(jnp.int32)
+                    stack[sp] = near_e
+                    sp = sp + (jnp.where(left_near, ml, mr) < T_MAX).astype(jnp.int32)
+                return sp, t, idx, nd, av
+
+            return jax.lax.cond(e < 0, do_leaf, do_inner, (sp, t, idx, nd, av))
+
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        init = (
+            jnp.int32(1),
+            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+            jnp.full((SUBLANES, LANES), -1, jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            tuple(zero for _ in range(12)),
+        )
+        _, t, idx, nd, av = jax.lax.while_loop(lambda s: s[0] > 0, body, init)
+        t_out[:, :] = t
+        idx_out[:, :] = idx
+        nd_out[:, :] = nd
+        for ref, val in zip(outs, av):
+            ref[:, :] = val
+
+    return kernel
+
+
 def _ray_specs(n: int):
     return [
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -672,6 +789,50 @@ def closest_tiles(
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+def closest_tiles_full(
+    cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
+    interpret: bool = False,
+) -> HitFull:
+    """Closest hit + surface attributes over tiled rays (no shading gathers
+    needed afterwards — see HitFull)."""
+    rows = o.x.shape[0]
+    assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
+    ntiles = rows // SUBLANES
+    wide = cbox.shape[1] == 32
+    out_shape = (
+        [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)]
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 2
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 12
+    )
+    block = pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    res = pl.pallas_call(
+        _closest_attr_kernel(leaf_size, wide),
+        grid=(ntiles,),
+        out_shape=out_shape,
+        in_specs=_ray_specs(6) + _scene_specs() + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)   # attr rows
+        ],
+        out_specs=[block] * 15,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr)
+    t, idx, nd = res[0], res[1], res[2]
+    a = res[3:]
+    return HitFull(
+        t=t, idx=idx, norm_dir=nd.astype(bool),
+        n=Vec3(a[0], a[1], a[2]),
+        kd=Vec3(a[3], a[4], a[5]),
+        ks=Vec3(a[6], a[7], a[8]),
+        kr=Vec3(a[9], a[10], a[11]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
 def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
     interpret: bool = False,
@@ -701,19 +862,35 @@ def occluded_tiles(
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
-    packed_dev: (cbox, cmeta, tri) device arrays from a PackedBVH. The
-    kernels handle triangles; pass `ds` to extend with the dense sphere
-    post-pass (ops/spheres.py).
+    packed_dev: (cbox, cmeta, tri[, attr]) device arrays from a PackedBVH.
+    With the 4th `attr` array, closest returns HitFull (surface attributes
+    resolved in-kernel — no shading gathers). Pass `ds` to extend with the
+    dense sphere post-pass (ops/spheres.py).
     """
-    cbox, cmeta, tri = packed_dev
+    if len(packed_dev) == 4:
+        cbox, cmeta, tri, attr = packed_dev
+    else:
+        cbox, cmeta, tri = packed_dev
+        attr = None
 
-    def closest(o: Vec3, d: Vec3) -> Hit:
+    def closest(o: Vec3, d: Vec3):
         R = o.x.shape[0]
         assert R % PACKET == 0, R
         rows = R // LANES
+        o2, d2 = o.reshape(rows, LANES), d.reshape(rows, LANES)
+        if attr is not None:
+            h = closest_tiles_full(
+                cbox, cmeta, tri, attr, o2, d2,
+                leaf_size=leaf_size, interpret=interpret,
+            )
+            return HitFull(
+                t=h.t.reshape(R), idx=h.idx.reshape(R),
+                norm_dir=h.norm_dir.reshape(R),
+                n=h.n.reshape(R), kd=h.kd.reshape(R),
+                ks=h.ks.reshape(R), kr=h.kr.reshape(R),
+            )
         h = closest_tiles(
-            cbox, cmeta, tri,
-            o.reshape(rows, LANES), d.reshape(rows, LANES),
+            cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret,
         )
         return Hit(

@@ -81,17 +81,31 @@ def _bcast_scalar_vec(v: Vec3, i: int, like: jax.Array) -> Vec3:
     )
 
 
-def surface_normal_mat(ds, hit: Hit, p: Vec3):
-    """(unflipped normal, material index) at the hit points, for both
-    primitive kinds: triangle slots in [0, T), spheres in [T, T + S)
-    (ops/spheres.py index-space extension)."""
+def surface_attrs(ds, hit, p: Vec3):
+    """(unit unflipped normal, kd, ks, kr) at the hit points.
+
+    HitFull (attribute-bearing Pallas hits) skips every per-lane gather —
+    the kernel already resolved the winning triangle's raw normal and
+    material coefficients with masked selects; we only normalize. Plain Hit
+    falls back to the gather path (brute/jax tracers, CPU). Sphere lanes
+    are overridden by a gather-free select loop either way.
+    """
+    from .spheres import override_attrs
+
+    if hasattr(hit, "kd"):
+        mag2 = hit.n.mag2()
+        inv = 1.0 / jnp.sqrt(jnp.maximum(mag2, 1e-30))
+        n = Vec3(hit.n.x * inv, hit.n.y * inv, hit.n.z * inv)
+        return override_attrs(ds, hit, p, n, hit.kd, hit.ks, hit.kr)
+
     T = ds.v0.x.shape[0]
     safe_idx = jnp.clip(hit.idx, 0, T - 1)
-    n_tri = _gather_vec(ds.n0, safe_idx)
-    mi_tri = ds.mat_idx[safe_idx]
-    from .spheres import surface_frame
-
-    return surface_frame(ds, hit, p, n_tri, mi_tri)
+    n = _gather_vec(ds.n0, safe_idx)
+    mi = ds.mat_idx[safe_idx]
+    kd = _gather_vec(ds.kd, mi)
+    ks = _gather_vec(ds.ks, mi)
+    kr = _gather_vec(ds.kr, mi)
+    return override_attrs(ds, hit, p, n, kd, ks, kr)
 
 
 def shade_hit(
@@ -116,10 +130,8 @@ def shade_hit(
         active = hit.idx >= 0
 
     p = o + d * t_safe
-    n, mi = surface_normal_mat(ds, hit, p)
+    n, kd, ks, _ = surface_attrs(ds, hit, p)
     n = (-n).where(hit.norm_dir, n)
-    kd = _gather_vec(ds.kd, mi)
-    ks = _gather_vec(ds.ks, mi)
 
     col = kd * ds.ambient
     view = -d  # unnormalized, as in the reference (cpu/src/raytracer.c:148)
@@ -193,8 +205,7 @@ def trace_rays(
 
         t_safe = jnp.where(is_hit, hit.t, 1.0)
         p = o + d * t_safe
-        n, mi = surface_normal_mat(ds, hit, p)
-        kr = _gather_vec(ds.kr, mi)
+        n, _, _, kr = surface_attrs(ds, hit, p)
         mult = mult * kr
 
         # Reflection ray (raytracer.cu:109-114).

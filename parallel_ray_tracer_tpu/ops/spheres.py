@@ -90,3 +90,36 @@ def surface_frame(ds, hit: Hit, p: Vec3, tri_normal: Vec3, tri_mat):
     n = n_sph.where(is_sph, tri_normal)
     mat = jnp.where(is_sph, ds.sph_mat[sidx], tri_mat)
     return n, mat
+
+
+def override_attrs(ds, hit, p: Vec3, n: Vec3, kd: Vec3, ks: Vec3, kr: Vec3):
+    """Substitute sphere-surface attributes on lanes with sphere hits.
+
+    A static unrolled loop over the (few) spheres using masked selects and
+    single-element table lookups — per-lane gathers over millions of rays
+    are pathologically slow on TPU, so this path never issues one.
+    """
+    S = _num_spheres(ds)
+    if S == 0:
+        return n, kd, ks, kr
+    T = ds.v0.x.shape[0]
+    for s_i in range(S):
+        is_s = hit.idx == T + s_i
+        r = jnp.maximum(ds.sph_r[s_i], 1e-30)
+        ns = Vec3(
+            (p.x - ds.sph_c.x[s_i]) / r,
+            (p.y - ds.sph_c.y[s_i]) / r,
+            (p.z - ds.sph_c.z[s_i]) / r,
+        )
+        mi = ds.sph_mat[s_i]
+        def pick(tbl, cur, comp):
+            return jnp.where(is_s, tbl[mi], comp)
+        n = Vec3(jnp.where(is_s, ns.x, n.x), jnp.where(is_s, ns.y, n.y),
+                 jnp.where(is_s, ns.z, n.z))
+        kd = Vec3(pick(ds.kd.x, kd, kd.x), pick(ds.kd.y, kd, kd.y),
+                  pick(ds.kd.z, kd, kd.z))
+        ks = Vec3(pick(ds.ks.x, ks, ks.x), pick(ds.ks.y, ks, ks.y),
+                  pick(ds.ks.z, ks, ks.z))
+        kr = Vec3(pick(ds.kr.x, kr, kr.x), pick(ds.kr.y, kr, kr.y),
+                  pick(ds.kr.z, kr, kr.z))
+    return n, kd, ks, kr

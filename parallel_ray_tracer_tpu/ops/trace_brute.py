@@ -28,6 +28,24 @@ class Hit(NamedTuple):
     norm_dir: jax.Array  # (R,) bool
 
 
+class HitFull(NamedTuple):
+    """Hit + surface attributes resolved during traversal.
+
+    Per-lane gathers on TPU cost ~17 ms per 2M rays (XLA lowers them to a
+    serialized path), so the Pallas kernels track the winning triangle's
+    unnormalized geometric normal and material coefficients with masked
+    selects at leaf time — attribute-bearing hits skip every shading gather.
+    """
+
+    t: jax.Array
+    idx: jax.Array
+    norm_dir: jax.Array
+    n: "Vec3"            # unnormalized e1 x e2 of the winning triangle
+    kd: "Vec3"
+    ks: "Vec3"
+    kr: "Vec3"
+
+
 def _chunked_tris(ds, chunk: int):
     """Reshape triangle SoA planes to (num_chunks, chunk), zero-padded.
 

@@ -197,10 +197,16 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         dbvh, _, stack_depth = trace_bvh.device_bvh_from_flat(
             flat, bf16=cfg.bf16_bvh
         )
+        # Attribute rows let the closest kernels resolve shading attributes
+        # in-kernel (HitFull) — per-lane gathers are pathologically slow.
+        attr = pallas_trace.pack_attr(
+            flat, scene.mat_idx, scene.mats_kd, scene.mats_ks, scene.mats_kr
+        )
         packed_dev = (
             jnp.asarray(packed.cbox),
             jnp.asarray(packed.cmeta),
             jnp.asarray(packed.tri),
+            jnp.asarray(attr),
         )
 
     return Pipeline(
