@@ -82,7 +82,7 @@ def main() -> None:
     d2 = Vec3(*(p.reshape(rows, 128) for p in d))
 
     if on_tpu:
-        cbox, cmeta, tri = pipe.packed_dev
+        cbox, cmeta, tri = pipe.packed_dev[:3]
 
         def one(ox):
             return pallas_trace.closest_tiles(
