@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SEED; 0 = time-based (options.h:66-71)")
     p.add_argument("--no-fast-light", action="store_true",
                    help="USE_BVH_FAST_LIGHT=0: closest-hit shadow traversal")
+    p.add_argument("--no-bvh-metrics", action="store_true",
+                   help="BVH_METRICS=0: suppress the leaf statistics banner")
     p.add_argument("--bf16-bvh", action="store_true",
                    help="bf16-compressed BVH boxes (conservative rounding)")
     p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4),
@@ -94,6 +96,7 @@ def config_from_args(args) -> RenderConfig:
         leaf_threshold=args.leaf_threshold,
         sah_bins=args.sah_bins,
         seed=args.seed,
+        bvh_metrics=not args.no_bvh_metrics,
         fast_light=not args.no_fast_light,
         bounces=args.bounces,
         iterations=args.iterations,
@@ -136,9 +139,10 @@ def main(argv: Optional[list] = None) -> int:
         f"fast_light: {cfg.fast_light}, bf16: {cfg.bf16_bvh}")
     if cfg.use_bvh:
         say(f"Time to build the bvh: {pipe.build_ms:.0f} ms")
-        banner = pipe.bvh_metrics_banner()
-        if banner:
-            say(banner)
+        if cfg.bvh_metrics:  # BVH_METRICS toggle (options.h:73)
+            banner = pipe.bvh_metrics_banner()
+            if banner:
+                say(banner)
     say(f"(total prepare: {prep_s:.1f} s)")
 
     mesh = None
