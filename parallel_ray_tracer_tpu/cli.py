@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BVH_METRICS=0: suppress the leaf statistics banner")
     p.add_argument("--bf16-bvh", action="store_true",
                    help="bf16-compressed BVH boxes (conservative rounding)")
-    p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4),
+    p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4, 8),
                    help="traversal node arity (4 = grandchildren-packed rows)")
     p.add_argument("--tile", default="32x32",
                    help="pixel tile shape ROWSxCOLS (1024 rays per packet)")

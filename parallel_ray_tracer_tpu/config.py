@@ -109,9 +109,9 @@ class RenderConfig:
     # and BVH build/flatten/pack; falls back to NumPy when no toolchain.
     use_native: bool = True
 
-    # Traversal node arity for the Pallas kernels: 2 (children-packed rows)
-    # or 4 (grandchildren-packed BVH4 rows — one shared reduction per visit,
-    # the faster default on TPU).
+    # Traversal node arity for the Pallas kernels: 2, 4 or 8 binary levels
+    # collapsed per node row (one shared reduction culls and orders all
+    # children of a visit; 4 is the measured default on TPU).
     bvh_width: int = 4
 
     def resolution(self) -> Tuple[int, int]:

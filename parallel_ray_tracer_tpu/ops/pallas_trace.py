@@ -210,6 +210,69 @@ def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
     return PackedBVH(cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L)
 
 
+def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
+    """Pack a binary FlatBVH as an 8-wide (BVH8) node table.
+
+    Three binary levels collapse into one node: up to 8 descendants per row,
+    one shared cross-lane reduction culls and orders all of them (see
+    pack_bvh4 — BVH8 halves traversal iterations again at the cost of a
+    larger scalar sorting network per visit).
+
+      - obox  (No, 64) f32: child k's [min.xyz, max.xyz] at lanes [6k, 6k+6).
+      - ometa (No, 16) i32: 8 child encodings then 8 validity flags.
+    """
+    L = flat.leaf_size
+    count, a = flat.count, flat.a
+    nmn, nmx = flat.node_min, flat.node_max
+    binary = pack_bvh(flat, tri_verts, bf16=False)
+    tri = binary.tri
+
+    def leaf_enc(i):
+        return -(int(a[i]) // L) - 1
+
+    def expand(i, depth):
+        """Descendants of binary-inner i after collapsing `depth` levels."""
+        out = []
+        for ch in (int(a[i]), int(a[i]) + 1):
+            if count[ch] > 0 or depth == 1:
+                out.append(("leaf" if count[ch] > 0 else "inner", ch))
+            else:
+                out.extend(expand(ch, depth - 1))
+        return out
+
+    entries_of = {}
+    if count[0] > 0:
+        order = [None]
+        entries_of[None] = [("leaf", 0)]
+    else:
+        oid = {0: 0}
+        order = [0]
+        queue = [0]
+        while queue:
+            i = queue.pop()
+            entries = expand(i, 3)
+            for kind, j in entries:
+                if kind == "inner" and j not in oid:
+                    oid[j] = len(oid)
+                    order.append(j)
+                    queue.append(j)
+            entries_of[i] = entries
+
+    No = len(order)
+    obox = np.zeros((No, 64), np.float32)
+    ometa = np.zeros((No, 16), np.int32)
+    for row, i in enumerate(order):
+        for k, (kind, j) in enumerate(entries_of[i]):
+            obox[row, 6 * k : 6 * k + 3] = nmn[j]
+            obox[row, 6 * k + 3 : 6 * k + 6] = nmx[j]
+            ometa[row, 8 + k] = 1
+            ometa[row, k] = leaf_enc(j) if kind == "leaf" else oid[j]
+
+    if bf16:
+        raise NotImplementedError("bf16 BVH8 rows not supported")
+    return PackedBVH(cbox=obox, cmeta=ometa, tri=tri, leaf_size=L)
+
+
 def qbox_to_bf16(qbox: np.ndarray) -> np.ndarray:
     """Conservative bf16 rounding for 4-wide box rows."""
     import ml_dtypes
@@ -487,6 +550,47 @@ def _slab_quad(qrow, o, inv, t_cut):
     )
 
 
+def _slab_multi(row, o, inv, t_cut, n: int):
+    """n children's pruned min entry distances with ONE cross-lane reduction."""
+    vs = [
+        _slab_masked(
+            _extract3(row, 6 * k), _extract3(row, 6 * k + 3), o, inv, t_cut
+        )
+        for k in range(n)
+    ]
+    both = jnp.concatenate(vs, axis=0)
+    red = jnp.min(both, axis=1)
+    return tuple(
+        jnp.min(red[SUBLANES * k : SUBLANES * (k + 1)]) for k in range(n)
+    )
+
+
+def _sortn(ms, es):
+    """Ascending sort of (distance, encoding) pairs via Batcher networks."""
+    nets = {
+        2: ((0, 1),),
+        4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+        8: ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+            (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+            (2, 4), (3, 5), (3, 4)),
+    }
+    n = len(ms)
+
+    def cswap(i, j, ms, es):
+        swap = ms[i] > ms[j]
+        mi = jnp.where(swap, ms[j], ms[i])
+        mj = jnp.where(swap, ms[i], ms[j])
+        ei = jnp.where(swap, es[j], es[i])
+        ej = jnp.where(swap, es[i], es[j])
+        ms = [mi if k == i else (mj if k == j else ms[k]) for k in range(n)]
+        es = [ei if k == i else (ej if k == j else es[k]) for k in range(n)]
+        return ms, es
+
+    for i, j in nets[n]:
+        ms, es = cswap(i, j, ms, es)
+    return ms, es
+
+
 def _sort4(ms, es):
     """Ascending 4-sort of (distance, encoding) pairs via a 5-comparator
     network — scalar selects only."""
@@ -506,7 +610,7 @@ def _sort4(ms, es):
     return ms, es
 
 
-def _closest4_kernel(L: int):
+def _closest4_kernel(L: int, arity: int = 4):
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, t_out, idx_out, nd_out, stack):
         o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
         stack[0] = jnp.int32(0)
@@ -535,16 +639,16 @@ def _closest4_kernel(L: int):
                 sp, t, idx, nd = args
                 qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = qmeta[pl.ds(e, 1), :]
-                ms = list(_slab_quad(qrow, o, inv, t))
+                ms = list(_slab_multi(qrow, o, inv, t, arity))
                 # Absent children sort last and never push (validity flags).
                 ms = [
-                    jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
-                    for k in range(4)
+                    jnp.where(mrow[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
+                    for k in range(arity)
                 ]
-                es = [mrow[0, k] for k in range(4)]
-                ms, es = _sort4(ms, es)
+                es = [mrow[0, k] for k in range(arity)]
+                ms, es = _sortn(ms, es)
                 # push far-to-near so the nearest child pops first
-                for k in (3, 2, 1, 0):
+                for k in reversed(range(arity)):
                     stack[sp] = es[k]
                     sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 return sp, t, idx, nd
@@ -565,7 +669,7 @@ def _closest4_kernel(L: int):
     return kernel
 
 
-def _occluded4_kernel(L: int):
+def _occluded4_kernel(L: int, arity: int = 4):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out, stack):
         o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
@@ -593,16 +697,16 @@ def _occluded4_kernel(L: int):
                 qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = qmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                ms = list(_slab_quad(qrow, o, inv, t_cut))
+                ms = list(_slab_multi(qrow, o, inv, t_cut, arity))
                 # Near-first (see the binary kernel's note): sort so probable
                 # blockers pop first; invalid slots sort last and never push.
                 ms = [
-                    jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
-                    for k in range(4)
+                    jnp.where(mrow[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
+                    for k in range(arity)
                 ]
-                es = [mrow[0, k] for k in range(4)]
-                ms, es = _sort4(ms, es)
-                for k in (3, 2, 1, 0):
+                es = [mrow[0, k] for k in range(arity)]
+                ms, es = _sortn(ms, es)
+                for k in reversed(range(arity)):
                     stack[sp] = es[k]
                     sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 return sp, blocked, all_blocked
@@ -666,7 +770,7 @@ def _attr_leaf_update(o, d, tri_row, arow, g, j, L, t, idx, nd, av):
     return t, idx, nd, av
 
 
-def _closest_attr_kernel(L: int, wide: bool):
+def _closest_attr_kernel(L: int, arity: int):
     """Closest hit + surface attributes (12 extra carried planes)."""
 
     def kernel(ox, oy, oz, dx, dy, dz, cbox, cmeta, tri, attr,
@@ -699,15 +803,15 @@ def _closest_attr_kernel(L: int, wide: bool):
                 sp, t, idx, nd, av = args
                 crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = cmeta[pl.ds(e, 1), :]
-                if wide:
-                    ms = list(_slab_quad(crow, o, inv, t))
+                if arity >= 4:
+                    ms = list(_slab_multi(crow, o, inv, t, arity))
                     ms = [
-                        jnp.where(mrow[0, 4 + k] > 0, ms[k], jnp.float32(T_MAX))
-                        for k in range(4)
+                        jnp.where(mrow[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
+                        for k in range(arity)
                     ]
-                    es = [mrow[0, k] for k in range(4)]
-                    ms, es = _sort4(ms, es)
-                    for k in (3, 2, 1, 0):
+                    es = [mrow[0, k] for k in range(arity)]
+                    ms, es = _sortn(ms, es)
+                    for k in reversed(range(arity)):
                         stack[sp] = es[k]
                         sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 else:
@@ -770,9 +874,10 @@ def closest_tiles(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
-    wide = cbox.shape[1] == 32
+    arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     t, idx, nd = pl.pallas_call(
-        _closest4_kernel(leaf_size) if wide else _closest_kernel(leaf_size),
+        _closest4_kernel(leaf_size, arity) if arity >= 4
+        else _closest_kernel(leaf_size),
         grid=grid,
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(),
@@ -798,7 +903,7 @@ def closest_tiles_full(
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
-    wide = cbox.shape[1] == 32
+    arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)]
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 2
@@ -808,7 +913,7 @@ def closest_tiles_full(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     res = pl.pallas_call(
-        _closest_attr_kernel(leaf_size, wide),
+        _closest_attr_kernel(leaf_size, arity),
         grid=(ntiles,),
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs() + [
@@ -841,9 +946,10 @@ def occluded_tiles(
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
-    wide = cbox.shape[1] == 32
+    arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     blocked = pl.pallas_call(
-        _occluded4_kernel(leaf_size) if wide else _occluded_kernel(leaf_size),
+        _occluded4_kernel(leaf_size, arity) if arity >= 4
+        else _occluded_kernel(leaf_size),
         grid=(ntiles,),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         in_specs=_ray_specs(7) + _scene_specs(),

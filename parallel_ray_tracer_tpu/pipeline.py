@@ -163,7 +163,9 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         packed_bf16 = cfg.bf16_bvh and _pallas_bf16_supported()
         if res is not None:
             flat, packed, bvh_stats = res
-            if cfg.bvh_width == 4:
+            if cfg.bvh_width == 8:
+                packed = pallas_trace.pack_bvh8(flat, tv)
+            elif cfg.bvh_width == 4:
                 packed = pallas_trace.pack_bvh4(flat, tv, bf16=packed_bf16)
             elif packed_bf16:
                 packed = pallas_trace.PackedBVH(
@@ -182,11 +184,14 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 seed=cfg.seed,
             )
             flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
-            pack_fn = (
-                pallas_trace.pack_bvh4 if cfg.bvh_width == 4
-                else pallas_trace.pack_bvh
+            pack_fn = {
+                8: pallas_trace.pack_bvh8,
+                4: pallas_trace.pack_bvh4,
+                2: pallas_trace.pack_bvh,
+            }[cfg.bvh_width]
+            packed = pack_fn(
+                flat, tv, bf16=packed_bf16 if cfg.bvh_width != 8 else False
             )
-            packed = pack_fn(flat, tv, bf16=packed_bf16)
             bvh_stats = bvh.stats
         build_ms = (time.perf_counter() - t0) * 1e3
         ds_kwargs["slot_map"] = flat.slot_map

@@ -25,8 +25,12 @@ def _packed(scene, heuristic=6, L=8, bf16=False, width=2):
     tv = scene.triangle_vertices()
     bvh = build_bvh(tv, heuristic=heuristic, leaf_threshold=L)
     flat = flatten_bvh(bvh, tv, leaf_size=L)
-    pack_fn = pallas_trace.pack_bvh4 if width == 4 else pallas_trace.pack_bvh
-    packed = pack_fn(flat, tv, bf16=bf16)
+    pack_fn = {
+        8: pallas_trace.pack_bvh8,
+        4: pallas_trace.pack_bvh4,
+        2: pallas_trace.pack_bvh,
+    }[width]
+    packed = pack_fn(flat, tv) if width == 8 else pack_fn(flat, tv, bf16=bf16)
     dev = (
         jnp.asarray(packed.cbox),
         jnp.asarray(packed.cmeta),
@@ -84,10 +88,11 @@ class TestKernelsVsJaxReference:
 
 
 class TestBVH4:
-    def test_bvh4_matches_binary(self, tiny_scene):
-        """4-wide and 2-wide kernels agree on hits."""
+    @pytest.mark.parametrize("width", [4, 8])
+    def test_wide_matches_binary(self, tiny_scene, width):
+        """4/8-wide and 2-wide kernels agree on hits."""
         flat, dev2 = _packed(tiny_scene, width=2)
-        _, dev4 = _packed(tiny_scene, width=4)
+        _, dev4 = _packed(tiny_scene, width=width)
         cam_arrays = tuple(
             jnp.asarray(a) for a in ray_basis(default_camera(), 64, 32)
         )
