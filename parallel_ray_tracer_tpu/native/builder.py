@@ -194,9 +194,21 @@ def load_scene_native(asset_dir: str):
     finally:
         lib.rt_scene_free(sp)
 
-    return Scene(
+    scene = Scene(
         verts=verts, faces=faces, mat_idx=mat_idx,
         mats_kd=kd, mats_ks=ks, mats_kr=kr,
         lights_pos=np.ascontiguousarray(lights[:, :3]),
         lights_kl=np.ascontiguousarray(lights[:, 3:]),
     )
+    # Sphere primitives are a framework extension the C++ loader does not
+    # parse; run the Python parse here so both loaders agree on sphere
+    # scenes (use_native defaults to True — without this a spheres.obj
+    # would silently vanish; flagged in ADVICE.md round 1).
+    spheres_path = os.path.join(asset_dir, "spheres.obj")
+    if os.path.exists(spheres_path):
+        from ..models.scene import load_spheres
+
+        with open(spheres_path) as f:
+            c, r, m = load_spheres(f.read())
+        scene.spheres_center, scene.spheres_radius, scene.spheres_mat = c, r, m
+    return scene

@@ -475,20 +475,19 @@ static void pack(const Flattened &f, const float *tv, Packed *p) {
     if (f.count[i] == 0) remap[i] = ni++;
 
   if (ni == 0) {
-    // Root is a leaf: synthetic inner with an unhittable right child.
+    // Root is a leaf: synthetic inner with BOTH children pointing at it.
+    // (An inverted AABB is not a never-hit sentinel under the ordered slab
+    // test, so the second child duplicates the leaf — idempotent.)
     p->n_inner = 1;
     p->cbox.assign(16, 0.0f);
-    p->cbox[0] = f.fmin[0].x;
-    p->cbox[1] = f.fmin[0].y;
-    p->cbox[2] = f.fmin[0].z;
-    p->cbox[3] = f.fmax[0].x;
-    p->cbox[4] = f.fmax[0].y;
-    p->cbox[5] = f.fmax[0].z;
-    p->cbox[6] = p->cbox[7] = p->cbox[8] = 3e38f;
-    p->cbox[9] = p->cbox[10] = p->cbox[11] = -3e38f;
+    p->cbox[0] = p->cbox[6] = f.fmin[0].x;
+    p->cbox[1] = p->cbox[7] = f.fmin[0].y;
+    p->cbox[2] = p->cbox[8] = f.fmin[0].z;
+    p->cbox[3] = p->cbox[9] = f.fmax[0].x;
+    p->cbox[4] = p->cbox[10] = f.fmax[0].y;
+    p->cbox[5] = p->cbox[11] = f.fmax[0].z;
     p->cmeta.assign(8, 0);
-    p->cmeta[0] = -(f.a[0] / L) - 1;
-    p->cmeta[1] = -1;
+    p->cmeta[0] = p->cmeta[1] = -(f.a[0] / L) - 1;
   } else {
     p->n_inner = ni;
     p->cbox.assign(ni * 16, 0.0f);

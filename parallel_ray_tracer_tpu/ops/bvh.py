@@ -268,14 +268,14 @@ def build_bvh(
             left_sel = c[:, split_axis] < split_pos
 
         nl = int(left_sel.sum())
-        if heuristic in (0, 1, 2, 6) and (nl == 0 or nl == n):
-            # Reference behavior: an empty child becomes a count-0 leaf and the
-            # other child re-splits the same set one level deeper, bottoming
-            # out at max_depth. We keep that (it matters for parity of node
-            # counts) unless it can't make progress at all.
-            if n_nodes + 2 > n_cap:
-                leaf_sizes.append(n)
-                continue
+        # Capacity guard for EVERY allocation, not just failed splits: dead
+        # node pairs from failed splits (re-split one level deeper,
+        # cpu/src/bvh.c:85-86) can exhaust the reference's preallocated 2N
+        # budget (cpu/src/bvh.c:370 — a latent overflow there); we degrade
+        # to a leaf instead of writing out of bounds.
+        if n_nodes + 2 > n_cap:
+            leaf_sizes.append(n)
+            continue
 
         child = n_nodes
         n_nodes += 2

@@ -105,8 +105,16 @@ def flatten_bvh(
             ll, rl = live(c), live(c + 1)
             if ll and rl:
                 break
-            if not (ll or rl):  # fully dead subtree — caller guards
-                break
+            if not (ll or rl):
+                # An inner node with two dead children cannot come out of
+                # the builder (a failed split keeps all triangles at the
+                # parent, cpu/src/bvh.c:85-86, so at least one child is
+                # live). Emitting it as inner would recurse into node 0
+                # forever (a == 0 on dead nodes) — fail loudly instead.
+                raise AssertionError(
+                    f"BVH node {i} is inner with two dead children; "
+                    "the builder tree is malformed"
+                )
             i = c if ll else c + 1
         return i
 

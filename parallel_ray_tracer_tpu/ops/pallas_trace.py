@@ -56,6 +56,22 @@ SUBLANES = 8
 PACKET = LANES * SUBLANES            # rays per grid step
 TRI_STRIDE = 12                      # floats per triangle in a group row
 STACK_DEPTH = 96
+
+
+def required_stack_depth(tree_depth: int, arity: int) -> int:
+    """SMEM stack words guaranteed to hold the worst-case traversal.
+
+    An arity-a kernel pops 1 entry and pushes <= a per inner visit, so the
+    stack grows by at most (a-1) per level of descent of the *packed* tree,
+    whose depth is ceil(binary_depth / log2(a)). Never shrinks below the
+    round-1 default so common configs keep their compiled-kernel cache.
+    (Fixes the unguarded fixed-96 stack flagged in ADVICE.md: deep trees
+    from --max-depth 64 plus flatten_bvh's oversized-leaf subtrees could
+    overflow and corrupt SMEM silently.)
+    """
+    levels = {2: 1, 4: 2, 8: 3}[arity]
+    packed_depth = max(1, -(-int(tree_depth) // levels))
+    return max(STACK_DEPTH, (arity - 1) * packed_depth + 2)
 # Scene arrays (node rows + triangle groups) stay VMEM-resident across the
 # whole grid; the compiler's default scoped-vmem limit (16 MB) is far below
 # the v5e's physical VMEM, so raise it to admit dragon-class scenes
@@ -91,16 +107,19 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
     inner_old = np.nonzero(count == 0)[0]
     if inner_old.size == 0:
         # Tiny scene: the root itself is a leaf. Emit one synthetic inner
-        # whose left child is that leaf and whose right child is a box that
-        # cannot be hit (inverted AABB -> slab test always misses).
+        # with BOTH children pointing at that leaf. (An "inverted AABB" is
+        # NOT a never-hit sentinel under the ordered slab test — min/max
+        # reordering turns it into an unconstrained interval — so the dead
+        # child carries the real box and the same encoding; testing the
+        # single leaf twice is idempotent for closest and any-hit alike.)
         cbox = np.zeros((1, 16), np.float32)
         cbox[0, 0:3] = flat.node_min[0]
         cbox[0, 3:6] = flat.node_max[0]
-        cbox[0, 6:9] = np.float32(3e38)
-        cbox[0, 9:12] = np.float32(-3e38)
+        cbox[0, 6:9] = flat.node_min[0]
+        cbox[0, 9:12] = flat.node_max[0]
         cmeta = np.zeros((1, 8), np.int32)
         cmeta[0, 0] = -(a[0] // L) - 1
-        cmeta[0, 1] = -1  # leaf group 0; unreachable behind the dead box
+        cmeta[0, 1] = cmeta[0, 0]
     else:
         remap = np.full(flat.n_nodes, -1, np.int64)
         remap[inner_old] = np.arange(inner_old.size)
@@ -860,9 +879,12 @@ def _scene_specs():
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+)
 def closest_tiles(
-    cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False
+    cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
+    stack_depth: int = STACK_DEPTH,
 ) -> Hit:
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128)."""
     rows = o.x.shape[0]
@@ -884,7 +906,7 @@ def closest_tiles(
         out_specs=[
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * 3,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -893,10 +915,12 @@ def closest_tiles(
     return Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+)
 def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
-    interpret: bool = False,
+    interpret: bool = False, stack_depth: int = STACK_DEPTH,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -920,7 +944,7 @@ def closest_tiles_full(
             pl.BlockSpec(memory_space=pltpu.VMEM)   # attr rows
         ],
         out_specs=[block] * 15,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -937,10 +961,12 @@ def closest_tiles_full(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+)
 def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
-    interpret: bool = False,
+    interpret: bool = False, stack_depth: int = STACK_DEPTH,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128)."""
     rows = o.x.shape[0]
@@ -956,7 +982,7 @@ def occluded_tiles(
         out_specs=pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -965,13 +991,15 @@ def occluded_tiles(
     return blocked.astype(bool)
 
 
-def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
+def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
+                stack_depth: int = STACK_DEPTH):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
     packed_dev: (cbox, cmeta, tri[, attr]) device arrays from a PackedBVH.
     With the 4th `attr` array, closest returns HitFull (surface attributes
     resolved in-kernel — no shading gathers). Pass `ds` to extend with the
-    dense sphere post-pass (ops/spheres.py).
+    dense sphere post-pass (ops/spheres.py). `stack_depth` should come from
+    required_stack_depth(flat.depth, arity).
     """
     if len(packed_dev) == 4:
         cbox, cmeta, tri, attr = packed_dev
@@ -988,6 +1016,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
             h = closest_tiles_full(
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
+                stack_depth=stack_depth,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -997,7 +1026,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
             )
         h = closest_tiles(
             cbox, cmeta, tri, o2, d2,
-            leaf_size=leaf_size, interpret=interpret,
+            leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -1011,7 +1040,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None):
             cbox, cmeta, tri,
             o.reshape(rows, LANES), d.reshape(rows, LANES),
             max_dist2.reshape(rows, LANES),
-            leaf_size=leaf_size, interpret=interpret,
+            leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
         )
         return blocked.reshape(R)
 

@@ -222,7 +222,7 @@ def render_bvh_jax(
     jax.jit,
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
-        "interpret", "fast_light",
+        "interpret", "fast_light", "stack_depth",
     ),
 )
 def _render_bvh_pallas(
@@ -237,12 +237,14 @@ def _render_bvh_pallas(
     tile_cols: int,
     interpret: bool,
     fast_light: bool = True,
+    stack_depth: int = 96,
 ):
     from . import pallas_trace
 
     o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
     closest_fn, occluded_fn = pallas_trace.make_tracer(
-        packed_dev, leaf_size, interpret=interpret, ds=ds
+        packed_dev, leaf_size, interpret=interpret, ds=ds,
+        stack_depth=stack_depth,
     )
     if not fast_light:
         occluded_fn = occluded_from_closest(closest_fn)
@@ -264,6 +266,7 @@ def render_bvh_pallas(
     tile_cols: int = 32,
     interpret: bool = False,
     fast_light: bool = True,
+    stack_depth: int = 96,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -278,4 +281,5 @@ def render_bvh_pallas(
     return _render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
+        stack_depth,
     )

@@ -41,6 +41,7 @@ class Pipeline:
     stack_depth: int
     build_ms: float
     bvh_stats: Optional[dict] = None
+    pallas_stack_depth: int = 96          # worst-case SMEM stack words
 
     def bvh_metrics_banner(self) -> Optional[str]:
         """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
@@ -94,6 +95,7 @@ class Pipeline:
                 bounces=cfg.bounces, leaf_size=self.leaf_size,
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 interpret=interpret, fast_light=cfg.fast_light,
+                stack_depth=self.pallas_stack_depth,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -161,6 +163,17 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         # so the packed arrays stay f32 there. dbvh (jax variant) still
         # honors bf16_bvh.
         packed_bf16 = cfg.bf16_bvh and _pallas_bf16_supported()
+        if cfg.bf16_bvh and not packed_bf16:
+            import warnings
+
+            warnings.warn(
+                "bf16_bvh requested but the compiled TPU Pallas kernels "
+                "cannot consume 16-bit box rows yet; the pallas variant "
+                "will traverse f32 boxes (the jax variant stays bf16). "
+                "Benchmark numbers from the pallas path are f32 numbers.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if res is not None:
             flat, packed, bvh_stats = res
             if cfg.bvh_width == 8:
@@ -198,7 +211,11 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
 
     ds = device_scene_from_host(scene, ambient=cfg.ambient, **ds_kwargs)
 
+    pallas_stack_depth = 96
     if cfg.use_bvh:
+        pallas_stack_depth = pallas_trace.required_stack_depth(
+            flat.depth, {2: 2, 4: 4, 8: 8}[cfg.bvh_width]
+        )
         dbvh, _, stack_depth = trace_bvh.device_bvh_from_flat(
             flat, bf16=cfg.bf16_bvh
         )
@@ -226,6 +243,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         stack_depth=stack_depth,
         build_ms=build_ms,
         bvh_stats=bvh_stats,
+        pallas_stack_depth=pallas_stack_depth,
     )
 
 
