@@ -64,7 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile", default="32x32",
                    help="pixel tile shape ROWSxCOLS (1024 rays per packet)")
     p.add_argument("--iterations", type=int, default=1)
-    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="untimed warmup frames before the timed loop; "
+                        "default 1 for single renders, 50 (the reference "
+                        "GPU protocol, gpu/include/options.cuh:25) when "
+                        "--iterations > 1")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="resumable banded render: completed scanline bands "
+                        "persist to PATH and a rerun resumes at the first "
+                        "missing band (long 4K/8K frames)")
+    p.add_argument("--band-rows", type=int, default=128,
+                   help="scanline rows per checkpoint band (multiple of the "
+                        "tile row count)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard image tiles over this many devices")
     p.add_argument("--output", default=None, metavar="BMP",
@@ -73,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write run metrics as JSON")
     p.add_argument("--interpret", action="store_true",
                    help="run Pallas kernels in interpreter mode (debug)")
+    p.add_argument("--no-native", action="store_true",
+                   help="skip the C++ host runtime; use the NumPy loaders "
+                        "and builders")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed "
                         "iterations into DIR (the Nsight-capture analog, "
@@ -100,7 +114,10 @@ def config_from_args(args) -> RenderConfig:
         fast_light=not args.no_fast_light,
         bounces=args.bounces,
         iterations=args.iterations,
-        warmup=args.warmup,
+        warmup=(
+            args.warmup if args.warmup is not None
+            else (50 if args.iterations > 1 else 1)
+        ),
         tile_rows=tr,
         tile_cols=tc,
         variant=args.variant if not args.no_bvh else "bruteforce",
@@ -109,6 +126,7 @@ def config_from_args(args) -> RenderConfig:
         synthetic_triangles=args.synthetic,
         asset_root=args.asset_root,
         num_devices=args.devices,
+        use_native=not args.no_native,
     )
 
 
@@ -119,10 +137,15 @@ def main(argv: Optional[list] = None) -> int:
     import jax
 
     from . import pipeline
+    from .parallel import distributed
     from .utils.bmp import write_bmp
     from .utils.stats import format_summary, summarize
 
-    say = (lambda *a: None) if args.quiet else print
+    # Multi-process TPU environments (pods): join the coordination service
+    # before any backend use. Single-process runs are a no-op.
+    distributed.initialize()
+
+    say = (lambda *a: None) if args.quiet or not distributed.is_primary() else print
 
     say(f"# Host settings #\nbackend: {jax.default_backend()}, "
         f"devices: {len(jax.devices())}, variant: {cfg.variant}")
@@ -144,6 +167,29 @@ def main(argv: Optional[list] = None) -> int:
             if banner:
                 say(banner)
     say(f"(total prepare: {prep_s:.1f} s)")
+
+    if args.checkpoint:
+        # Resumable banded render (utils/checkpoint.py): each completed
+        # band persists; a rerun picks up at the first missing band. This
+        # path renders ONE frame and skips the timing loop.
+        from .utils.checkpoint import TileRenderCheckpoint
+
+        band = max(args.band_rows // cfg.tile_rows, 1) * cfg.tile_rows
+        ckpt = TileRenderCheckpoint(
+            args.checkpoint, cfg.width, cfg.height, band
+        )
+        img = ckpt.run(
+            lambda y0, rows: np.asarray(
+                pipe.render_band(
+                    y0, max(rows, cfg.tile_rows), interpret=args.interpret
+                )
+            ),
+            progress=lambda done, total: say(f"band {done}/{total}"),
+        )
+        if args.output:
+            write_bmp(args.output, img)
+            say(f"Wrote {args.output}")
+        return 0
 
     mesh = None
     if cfg.num_devices > 1:
@@ -172,10 +218,14 @@ def main(argv: Optional[list] = None) -> int:
             "jax": pipe.dbvh,
             "bruteforce": pipe.ds,
         }[cfg.variant]
+        depth = (
+            pipe.pallas_stack_depth if cfg.variant == "pallas"
+            else pipe.stack_depth
+        )
         return sharded.render_sharded(
             pipe.ds, tracer_data, cam, cfg.width, cfg.height, mesh,
             bounces=cfg.bounces, leaf_size=pipe.leaf_size,
-            stack_depth=pipe.stack_depth, tile_rows=cfg.tile_rows,
+            stack_depth=depth, tile_rows=cfg.tile_rows,
             tile_cols=cfg.tile_cols, variant=cfg.variant,
             interpret=args.interpret,
         )

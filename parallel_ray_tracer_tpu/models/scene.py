@@ -256,6 +256,31 @@ def load_scene(asset_dir: str) -> Scene:
     return scene
 
 
+_SNAPSHOT_FIELDS = (
+    "verts", "faces", "mat_idx", "mats_kd", "mats_ks", "mats_kr",
+    "lights_pos", "lights_kl", "spheres_center", "spheres_radius",
+    "spheres_mat",
+)
+
+
+def save_scene_npz(scene: Scene, path: str) -> None:
+    """Persist a parsed Scene as a compressed npz snapshot.
+
+    Snapshots make the repo self-contained: the bundled car_only/car_boxed
+    geometry renders without the reference checkout present (the OBJ text
+    parse and the snapshot load produce identical arrays — tested).
+    """
+    np.savez_compressed(
+        path, **{f: getattr(scene, f) for f in _SNAPSHOT_FIELDS}
+    )
+
+
+def load_scene_npz(path: str) -> Scene:
+    """Load a Scene from a save_scene_npz snapshot."""
+    with np.load(path) as z:
+        return Scene(**{f: z[f] for f in _SNAPSHOT_FIELDS})
+
+
 def synthetic_scene(num_triangles: int, seed: int = 1) -> Scene:
     """Random-triangle stress scene (cpu/src/main.c:115-131).
 

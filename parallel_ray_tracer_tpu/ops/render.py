@@ -86,12 +86,13 @@ def _render_bruteforce(
     bounces: int,
     chunk: int = 512,
     row_chunk: int = 0,
+    y_offset=0,
 ):
     closest_fn, occluded_fn = trace_brute.make_tracer(ds, chunk=chunk)
     if not row_chunk or row_chunk >= height:
         return render_band(
             ds, closest_fn, occluded_fn, cam_arrays, width, height,
-            jnp.int32(0), height, bounces,
+            jnp.int32(y_offset), height, bounces,
         )
     assert height % row_chunk == 0, (height, row_chunk)
 
@@ -101,7 +102,9 @@ def _render_bruteforce(
             y0, row_chunk, bounces,
         )
 
-    offsets = jnp.arange(0, height, row_chunk, dtype=jnp.int32)
+    offsets = jnp.arange(0, height, row_chunk, dtype=jnp.int32) + jnp.int32(
+        y_offset
+    )
     bands = jax.lax.map(band, offsets)
     return bands.reshape(height, width, 3)
 
@@ -146,11 +149,15 @@ def tiles_to_image(flat, width, height, tr, tc):
     return img[:height, :width]
 
 
-def generate_rays_tiled(cam_arrays, width, height, tr, tc):
-    """(ntiles*K,) Vec3 origin/direction planes in tile-major order."""
+def generate_rays_tiled(cam_arrays, width, height, tr, tc, y_offset=0):
+    """(ntiles*K,) Vec3 origin/direction planes in tile-major order.
+
+    y_offset shifts pixel rows (band rendering): row r gets the direction
+    of full-frame row r + y_offset, computed with the same arithmetic as
+    the full frame (bit-exact bands)."""
     origin, dir00, inc_x, inc_y = cam_arrays
     wp, hp, nty, ntx = tile_image_shape(width, height, tr, tc)
-    o, d = generate_rays(origin, dir00, inc_x, inc_y, wp, hp, 0, hp)
+    o, d = generate_rays(origin, dir00, inc_x, inc_y, wp, hp, y_offset, hp)
 
     def tilewise(p):
         return (
@@ -182,10 +189,13 @@ def _render_bvh_jax(
     tile_rows: int,
     tile_cols: int,
     fast_light: bool = True,
+    y_offset=0,
 ):
     from . import trace_bvh
 
-    o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
+    o, d = generate_rays_tiled(
+        cam_arrays, width, height, tile_rows, tile_cols, y_offset
+    )
     closest_fn, occluded_fn = trace_bvh.make_tracer(
         bvh, ds, leaf_size, stack_depth, packet=tile_rows * tile_cols
     )
@@ -238,10 +248,13 @@ def _render_bvh_pallas(
     interpret: bool,
     fast_light: bool = True,
     stack_depth: int = 96,
+    y_offset=0,
 ):
     from . import pallas_trace
 
-    o, d = generate_rays_tiled(cam_arrays, width, height, tile_rows, tile_cols)
+    o, d = generate_rays_tiled(
+        cam_arrays, width, height, tile_rows, tile_cols, y_offset
+    )
     closest_fn, occluded_fn = pallas_trace.make_tracer(
         packed_dev, leaf_size, interpret=interpret, ds=ds,
         stack_depth=stack_depth,

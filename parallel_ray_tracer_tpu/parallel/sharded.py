@@ -110,7 +110,8 @@ def _render_sharded(
         df = d_sh.reshape(nt_local * K)
         if variant == "pallas":
             closest_fn, occluded_fn = pallas_trace.make_tracer(
-                tracer_r, leaf_size, interpret=interpret, ds=ds_r
+                tracer_r, leaf_size, interpret=interpret, ds=ds_r,
+                stack_depth=stack_depth,
             )
         elif variant == "jax":
             closest_fn, occluded_fn = trace_bvh.make_tracer(

@@ -10,6 +10,7 @@ them across kernel launches (gpu/src/main.cu:110-115).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Tuple
 
@@ -99,6 +100,51 @@ class Pipeline:
             )
         raise ValueError(f"unknown variant {variant!r}")
 
+    def render_band(
+        self,
+        y0: int,
+        rows: int,
+        cam: Optional[Camera] = None,
+        variant: Optional[str] = None,
+        interpret: bool = False,
+    ) -> jax.Array:
+        """Render scanlines [y0, y0+rows) of the full frame -> (rows, W, 3).
+
+        The band reuses the FULL frame's camera basis with the dir00 corner
+        shifted down y0 rows, so band pixels are bit-identical to the same
+        rows of a whole-frame render. Used by the checkpoint/resume path
+        (utils/checkpoint.TileRenderCheckpoint) for long renders.
+        """
+        from .models.camera import ray_basis
+
+        cfg = self.cfg
+        cam = cam or self.camera()
+        cam_arrays = tuple(
+            jnp.asarray(a) for a in ray_basis(cam, cfg.width, cfg.height)
+        )
+        y0 = jnp.int32(y0)  # dynamic: bands share one compiled program
+        variant = variant or (cfg.variant if cfg.use_bvh else "bruteforce")
+        if variant == "bruteforce":
+            return render_ops._render_bruteforce(
+                self.ds, cam_arrays, cfg.width, rows, cfg.bounces,
+                y_offset=y0,
+            )
+        if variant == "jax":
+            return render_ops._render_bvh_jax(
+                self.ds, self.dbvh, cam_arrays, cfg.width, rows,
+                cfg.bounces, self.leaf_size, self.stack_depth,
+                cfg.tile_rows, cfg.tile_cols, cfg.fast_light,
+                y_offset=y0,
+            )
+        if variant == "pallas":
+            return render_ops._render_bvh_pallas(
+                self.ds, self.packed_dev, cam_arrays, cfg.width, rows,
+                cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,
+                interpret, cfg.fast_light, self.pallas_stack_depth,
+                y_offset=y0,
+            )
+        raise ValueError(f"unknown variant {variant!r}")
+
 
 def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     """Load assets, build + flatten + upload the BVH, stage the scene."""
@@ -119,15 +165,25 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                     native.load_scene_native(asset_dir) if native else None
                 ) or load_scene(asset_dir)
             except FileNotFoundError:
-                # dragon/sportscar/two_cars OBJs are LFS-stripped upstream;
-                # regenerate deterministic substitutes (models/procgen.py).
                 from .config import DEFAULT_ASSET_ROOTS
                 from .models.procgen import substitute_scene
+                from .models.scene import load_scene_npz
 
                 roots = (
                     (cfg.asset_root,) if cfg.asset_root else DEFAULT_ASSET_ROOTS
                 )
-                scene = substitute_scene(cfg.scene, roots, seed=cfg.seed)
+                # Repo-bundled npz snapshots keep car_only/car_boxed
+                # renderable without the reference checkout present.
+                scene = None
+                for root in roots:
+                    snap = os.path.join(root, cfg.scene + ".npz")
+                    if os.path.isfile(snap):
+                        scene = load_scene_npz(snap)
+                        break
+                if scene is None:
+                    # dragon/sportscar/two_cars OBJs are LFS-stripped
+                    # upstream; regenerate deterministic substitutes.
+                    scene = substitute_scene(cfg.scene, roots, seed=cfg.seed)
                 if scene is None:
                     raise
 

@@ -35,13 +35,21 @@ def have_scene(name: str) -> bool:
     )
 
 
+REPO_ASSETS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
+
+
 @pytest.fixture(scope="session")
 def car_only_scene():
-    if not have_scene("car_only"):
-        pytest.skip("car_only assets unavailable")
-    from parallel_ray_tracer_tpu.models.scene import load_scene
+    if have_scene("car_only"):
+        from parallel_ray_tracer_tpu.models.scene import load_scene
 
-    return load_scene(os.path.join(REFERENCE_ASSETS, "car_only"))
+        return load_scene(os.path.join(REFERENCE_ASSETS, "car_only"))
+    snap = os.path.join(REPO_ASSETS, "car_only.npz")
+    if os.path.isfile(snap):
+        from parallel_ray_tracer_tpu.models.scene import load_scene_npz
+
+        return load_scene_npz(snap)
+    pytest.skip("car_only assets unavailable")
 
 
 @pytest.fixture(scope="session")

@@ -124,16 +124,15 @@ class TestDiffClosest:
 
         g = jax.grad(loss)(verts0)
         h = 2e-3
-        checked = 0
-        for vi, c in [(0, 2), (1, 2), (2, 0)]:  # floor vertices, z and x
+        # The three visible floor vertices' z-derivatives are large and
+        # smooth on interior pixels (measured agreement ~0.04%); every one
+        # must be informative AND match tightly — no soft fallbacks.
+        for vi, c in [(0, 2), (1, 2), (2, 2)]:
             e = np.zeros_like(verts0)
             e[vi, c] = h
             fd = (loss(verts0 + e) - loss(verts0 - e)) / (2 * h)
-            if abs(float(fd)) < 1e-4:
-                continue
-            np.testing.assert_allclose(float(g[vi, c]), float(fd), rtol=8e-2)
-            checked += 1
-        assert checked >= 1, "no informative FD direction found"
+            assert abs(float(fd)) > 1.0, f"FD direction ({vi},{c}) uninformative"
+            np.testing.assert_allclose(float(g[vi, c]), float(fd), rtol=5e-3)
 
 
 class TestSoftShadows:

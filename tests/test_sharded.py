@@ -52,6 +52,25 @@ class TestShardedRender:
         ref = np.asarray(pipe.render(variant="bruteforce"))
         np.testing.assert_allclose(img, ref, atol=3e-5)
 
+    def test_pallas_variant_matches_oracle(self, tiny_scene, mesh):
+        """The PRODUCTION multi-chip configuration: Pallas packet kernels
+        inside shard_map (interpret mode on the CPU test mesh)."""
+        cfg = RenderConfig(
+            width=64, height=64, bounces=2, tile_rows=32, tile_cols=32,
+            bvh_heuristic=6,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        img = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.packed_dev, pipe.camera(), 64, 64, mesh,
+                bounces=2, leaf_size=pipe.leaf_size,
+                stack_depth=pipe.pallas_stack_depth, variant="pallas",
+                interpret=True,
+            )
+        )
+        ref = np.asarray(pipe.render(variant="bruteforce"))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
     def test_round_robin_perm(self):
         perm = sharded.round_robin_perm(16, 4)
         # Device 0 gets positions 0..3 -> original tiles 0, 4, 8, 12.
