@@ -227,7 +227,7 @@ def main(argv: Optional[list] = None) -> int:
             bounces=cfg.bounces, leaf_size=pipe.leaf_size,
             stack_depth=depth, tile_rows=cfg.tile_rows,
             tile_cols=cfg.tile_cols, variant=cfg.variant,
-            interpret=args.interpret,
+            interpret=args.interpret, compressed=pipe.compressed,
         )
 
     import jax.numpy as jnp

@@ -114,6 +114,28 @@ class RenderConfig:
     # children of a visit; 4 is the measured default on TPU).
     bvh_width: int = 4
 
+    # Dual-pop traversal schedule: visit two pending inner nodes per loop
+    # iteration with one shared cross-lane reduction (never slower;
+    # measured -4% coherent to -18% on divergent bounce passes).
+    dual_pop: bool = True
+
+    # Score SAH splits by true surface area instead of the reference's
+    # squared-diagonal approximation (cpu/src/bvh.c:43-46). A documented
+    # TPU-first divergence: tree SEMANTICS still match the reference's
+    # rules; only the heuristic-6 scoring differs. Forces the NumPy
+    # builder (the C++ builder implements the reference formula only).
+    true_sah: bool = False
+
+    # Triangles per leaf group row (power of two <= 8); None = largest
+    # that fits the 128-lane row (8).
+    leaf_size: Optional[int] = None
+
+    # HBM streaming of triangle/attribute rows ("auto" | "on" | "off"):
+    # scenes whose leaf rows exceed the VMEM budget keep them in HBM and
+    # the kernels fetch per leaf visit with lookahead prefetch. "auto"
+    # enables it when the resident estimate passes ~48 MB.
+    stream: str = "auto"
+
     def resolution(self) -> Tuple[int, int]:
         return (self.width, self.height)
 

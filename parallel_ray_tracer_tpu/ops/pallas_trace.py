@@ -83,10 +83,11 @@ VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 class PackedBVH:
     """Host-side packed arrays ready for upload."""
 
-    cbox: np.ndarray    # (Ni, 16) f32 (or bf16)
+    cbox: np.ndarray    # (Ni, 16) f32 (or bf16 pairs viewed f32)
     cmeta: np.ndarray   # (Ni, 8) i32
     tri: np.ndarray     # (G, 128) f32
     leaf_size: int
+    compressed: bool = False   # cbox holds bf16 (min|max) pairs (f32 view)
 
     @property
     def n_inner(self) -> int:
@@ -225,8 +226,13 @@ def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
                 qmeta[row, k] = qid[j]
 
     if bf16:
-        qbox = qbox_to_bf16(qbox)
-    return PackedBVH(cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L)
+        # Compiled-TPU bf16 format: conservative (min|max) pairs in f32
+        # lanes (pack_box_bf16_pairs) — consumable by the Mosaic kernels,
+        # unlike a raw bf16-dtype table (16-bit dynamic-row-slice limit).
+        qbox = pack_box_bf16_pairs(qbox, 4)
+    return PackedBVH(
+        cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L, compressed=bf16
+    )
 
 
 def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
@@ -288,8 +294,10 @@ def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
             ometa[row, k] = leaf_enc(j) if kind == "leaf" else oid[j]
 
     if bf16:
-        raise NotImplementedError("bf16 BVH8 rows not supported")
-    return PackedBVH(cbox=obox, cmeta=ometa, tri=tri, leaf_size=L)
+        obox = pack_box_bf16_pairs(obox, 8)
+    return PackedBVH(
+        cbox=obox, cmeta=ometa, tri=tri, leaf_size=L, compressed=bf16
+    )
 
 
 def qbox_to_bf16(qbox: np.ndarray) -> np.ndarray:
@@ -308,6 +316,51 @@ def qbox_to_bf16(qbox: np.ndarray) -> np.ndarray:
     for c in hi_cols:
         out[:, c] = np.where(f[:, c] < qbox[:, c], bump[:, c], bits[:, c])
     return out.view(np.float32).astype(ml_dtypes.bfloat16)
+
+
+def pack_box_bf16_pairs(box: np.ndarray, arity: int) -> np.ndarray:
+    """bf16-compress wide box rows into f32-viewed (min, max) pairs.
+
+    The compiled-TPU bf16 format (the hbvh_t analog the GPU reference ships,
+    gpu/src/gpu.cu:176-185): child k's coordinate c becomes ONE f32 lane at
+    [3k + c] whose high 16 bits are the bf16 min (rounded DOWN) and low 16
+    bits the bf16 max (rounded UP) — conservative, so culling stays exact,
+    unlike the reference's round-to-nearest __float22half2_rn. Keeping the
+    row dtype f32 sidesteps Mosaic's 16-bit dynamic-row-slice limit; the
+    kernel unpacks with two cheap bitwise ops per row
+    (bf16 -> f32 widening is exact: bf16 bits == high half of f32 bits).
+
+    Row width is preserved (lanes beyond 3*arity stay zero) so the packed
+    table keeps the same arity signature as its f32 counterpart. VMEM
+    footprint note: node rows lane-pad to 128 regardless, so this is a
+    compute-format change, not a memory saving — docs/DESIGN.md.
+    """
+    box = np.ascontiguousarray(box, np.float32)
+    n = box.shape[0]
+    bits = box.view(np.uint32)
+    trunc = bits & np.uint32(0xFFFF0000)
+    f = trunc.view(np.float32)
+    bump = trunc + np.uint32(0x00010000)
+    out = np.zeros_like(box, np.uint32)
+    for k in range(arity):
+        for c in range(3):
+            mn = box[:, 6 * k + c]
+            mx = box[:, 6 * k + 3 + c]
+            mn_b = np.where(
+                f[:, 6 * k + c] > mn, bump[:, 6 * k + c], trunc[:, 6 * k + c]
+            )
+            mx_b = np.where(
+                f[:, 6 * k + 3 + c] < mx,
+                bump[:, 6 * k + 3 + c],
+                trunc[:, 6 * k + 3 + c],
+            )
+            assert ((mn_b & np.uint32(0xFFFF)) == 0).all()
+            assert ((mx_b & np.uint32(0xFFFF)) == 0).all()
+            # Sanity: widened bf16 bounds still enclose the f32 box.
+            assert (mn_b.view(np.float32) <= mn).all()
+            assert (mx_b.view(np.float32) >= mx).all()
+            out[:, 3 * k + c] = mn_b | (mx_b >> np.uint32(16))
+    return out.view(np.float32)
 
 
 def cbox_to_bf16(cbox: np.ndarray) -> np.ndarray:
@@ -554,29 +607,39 @@ def _occluded_kernel(L: int):
     return kernel
 
 
-def _slab_quad(qrow, o, inv, t_cut):
-    """Four children's pruned min entry distances, ONE cross-lane reduction."""
-    vs = [
-        _slab_masked(
-            _extract3(qrow, 6 * k), _extract3(qrow, 6 * k + 3), o, inv, t_cut
+def _load_node_row(qbox, e, compressed: bool):
+    """Fetch node e's box row as (min_row, max_row) f32 views.
+
+    compressed (pack_box_bf16_pairs format): ONE f32 row whose lanes hold
+    (bf16 min | bf16 max) pairs; unpacked with two bitwise ops — bf16 bits
+    are exactly the high half of the widened f32. Uncompressed: min and max
+    share the row at different offsets (see _child_extract)."""
+    row = qbox[pl.ds(e, 1), :]
+    if compressed:
+        bits = jax.lax.bitcast_convert_type(row, jnp.uint32)
+        mn = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
         )
-        for k in range(4)
-    ]
-    both = jnp.concatenate(vs, axis=0)        # (32, 128)
-    red = jnp.min(both, axis=1)               # (32,) shared lane reduction
-    return tuple(
-        jnp.min(red[SUBLANES * k : SUBLANES * (k + 1)]) for k in range(4)
-    )
+        mx = jax.lax.bitcast_convert_type(
+            bits << jnp.uint32(16), jnp.float32
+        )
+        return mn, mx
+    row = row.astype(jnp.float32)
+    return row, row
 
 
-def _slab_multi(row, o, inv, t_cut, n: int):
+def _child_extract(mn_row, mx_row, k: int, compressed: bool):
+    if compressed:
+        return _extract3(mn_row, 3 * k), _extract3(mx_row, 3 * k)
+    return _extract3(mn_row, 6 * k), _extract3(mx_row, 6 * k + 3)
+
+
+def _slab_multi(mn_row, mx_row, o, inv, t_cut, n: int, compressed: bool = False):
     """n children's pruned min entry distances with ONE cross-lane reduction."""
-    vs = [
-        _slab_masked(
-            _extract3(row, 6 * k), _extract3(row, 6 * k + 3), o, inv, t_cut
-        )
-        for k in range(n)
-    ]
+    vs = []
+    for k in range(n):
+        lo, hi = _child_extract(mn_row, mx_row, k, compressed)
+        vs.append(_slab_masked(lo, hi, o, inv, t_cut))
     both = jnp.concatenate(vs, axis=0)
     red = jnp.min(both, axis=1)
     return tuple(
@@ -629,7 +692,7 @@ def _sort4(ms, es):
     return ms, es
 
 
-def _closest4_kernel(L: int, arity: int = 4):
+def _closest4_kernel(L: int, arity: int = 4, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, t_out, idx_out, nd_out, stack):
         o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
         stack[0] = jnp.int32(0)
@@ -656,9 +719,11 @@ def _closest4_kernel(L: int, arity: int = 4):
 
             def do_inner(args):
                 sp, t, idx, nd = args
-                qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mn_row, mx_row = _load_node_row(qbox, e, compressed)
                 mrow = qmeta[pl.ds(e, 1), :]
-                ms = list(_slab_multi(qrow, o, inv, t, arity))
+                ms = list(
+                    _slab_multi(mn_row, mx_row, o, inv, t, arity, compressed)
+                )
                 # Absent children sort last and never push (validity flags).
                 ms = [
                     jnp.where(mrow[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
@@ -688,7 +753,7 @@ def _closest4_kernel(L: int, arity: int = 4):
     return kernel
 
 
-def _occluded4_kernel(L: int, arity: int = 4):
+def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out, stack):
         o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
@@ -713,10 +778,14 @@ def _occluded4_kernel(L: int, arity: int = 4):
 
             def do_inner(args):
                 sp, blocked, all_blocked = args
-                qrow = qbox[pl.ds(e, 1), :].astype(jnp.float32)
+                mn_row, mx_row = _load_node_row(qbox, e, compressed)
                 mrow = qmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                ms = list(_slab_multi(qrow, o, inv, t_cut, arity))
+                ms = list(
+                    _slab_multi(
+                        mn_row, mx_row, o, inv, t_cut, arity, compressed
+                    )
+                )
                 # Near-first (see the binary kernel's note): sort so probable
                 # blockers pop first; invalid slots sort last and never push.
                 ms = [
@@ -742,6 +811,488 @@ def _occluded4_kernel(L: int, arity: int = 4):
         _, blocked, _ = jax.lax.while_loop(
             lambda s: (s[0] > 0) & (s[2] == 0), body, init
         )
+        out[:, :] = blocked
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Dual-pop traversal (two-stack schedule)
+# ---------------------------------------------------------------------------
+#
+# The per-visit bottleneck of the single-pop kernels is the reduce-to-scalar
+# latency plus loop/cond machinery — vector slab work is cheap next to it
+# (docs/DESIGN.md §3). Incoherent bounce packets keep MANY nodes pending on
+# the stack, so two pending inner nodes can be visited per loop iteration
+# with ONE shared cross-lane reduction over 2*arity children: per-visit
+# latency cost is nearly halved exactly where the frame profile says the
+# time goes (metrics/profile_frame.json: bounce passes are ~90% of the
+# frame). Leaf groups go to a separate stack and are processed first —
+# leaves shrink t (closest) or set blocked flags (any-hit), which only
+# improves pruning for the inner visits that follow.
+
+
+def _dual_inner_visit(qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+                      arity: int, compressed: bool = False):
+    """Visit the top one-or-two inner nodes; push their children.
+
+    Returns updated (isp, lsp). When only one inner is pending, the second
+    node's lanes are computed but masked invalid (the duplicate slab work
+    is cheaper than a scalar branch on the hot path).
+    """
+    e1 = istack[isp - 1]
+    two = isp >= 2
+    e2 = istack[jnp.maximum(isp - 2, 0)]
+    isp = isp - 1 - two.astype(jnp.int32)
+    mn1, mx1 = _load_node_row(qbox, e1, compressed)
+    m1 = qmeta[pl.ds(e1, 1), :]
+    mn2, mx2 = _load_node_row(qbox, e2, compressed)
+    m2 = qmeta[pl.ds(e2, 1), :]
+    vs = []
+    for mn, mx in ((mn1, mx1), (mn2, mx2)):
+        for k in range(arity):
+            lo, hi = _child_extract(mn, mx, k, compressed)
+            vs.append(_slab_masked(lo, hi, o, inv, t_cut))
+    both = jnp.concatenate(vs, axis=0)          # (2*arity*8, 128)
+    red = jnp.min(both, axis=1)                 # ONE shared lane reduction
+    ms = [
+        jnp.min(red[SUBLANES * k : SUBLANES * (k + 1)])
+        for k in range(2 * arity)
+    ]
+    ms1 = [
+        jnp.where(m1[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
+        for k in range(arity)
+    ]
+    ms2 = [
+        jnp.where(two & (m2[0, arity + k] > 0), ms[arity + k], jnp.float32(T_MAX))
+        for k in range(arity)
+    ]
+    es1 = [m1[0, k] for k in range(arity)]
+    es2 = [m2[0, k] for k in range(arity)]
+    ms1, es1 = _sortn(ms1, es1)
+    ms2, es2 = _sortn(ms2, es2)
+    # Node 1 was nearer (top of stack): push node 2's children first so
+    # node 1's nearest child pops first. Within a node, far-to-near.
+    for msx, esx in ((ms2, es2), (ms1, es1)):
+        for k in reversed(range(arity)):
+            ok = msx[k] < T_MAX
+            leafc = esx[k] < 0
+            istack[isp] = esx[k]
+            isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+            lstack[lsp] = esx[k]
+            lsp = lsp + (ok & leafc).astype(jnp.int32)
+    return isp, lsp
+
+
+def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
+                         compressed: bool = False):
+    """Dual-pop closest hit; with n_attr=12 also tracks surface attributes."""
+
+    def kernel(*refs):
+        if n_attr:
+            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
+            outs = refs[10:13 + n_attr]
+            istack, lstack = refs[13 + n_attr:]
+        else:
+            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
+            outs = refs[9:12]
+            istack, lstack = refs[12:]
+        t_out, idx_out, nd_out = outs[:3]
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        istack[0] = jnp.int32(0)
+
+        def leaf(g, t, idx, nd, av):
+            tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+            if n_attr:
+                arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    t, idx, nd, av = _attr_leaf_update(
+                        o, d, tri_row, arow, g, j, L, t, idx, nd, av
+                    )
+            else:
+                for j in range(L):
+                    tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
+                    better = tj < t
+                    t = jnp.where(better, tj, t)
+                    idx = jnp.where(better, g * L + j, idx)
+                    nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+            return t, idx, nd, av
+
+        def body(state):
+            isp, lsp, t, idx, nd, av = state
+
+            def do_leaf(args):
+                isp, lsp, t, idx, nd, av = args
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                t, idx, nd, av = leaf(g, t, idx, nd, av)
+                return isp, lsp, t, idx, nd, av
+
+            def do_inner(args):
+                isp, lsp, t, idx, nd, av = args
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, o, inv, t, istack, lstack, isp, lsp, arity,
+                    compressed,
+                )
+                return isp, lsp, t, idx, nd, av
+
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        init = (
+            jnp.int32(1),
+            jnp.int32(0),
+            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+            jnp.full((SUBLANES, LANES), -1, jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            tuple(zero for _ in range(n_attr)),
+        )
+        _, _, t, idx, nd, av = jax.lax.while_loop(
+            lambda s: (s[0] > 0) | (s[1] > 0), body, init
+        )
+        t_out[:, :] = t
+        idx_out[:, :] = idx
+        nd_out[:, :] = nd
+        for ref, val in zip(outs[3:], av):
+            ref[:, :] = val
+
+    return kernel
+
+
+def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False):
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
+               istack, lstack):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        max_dist2 = m2[:, :]
+        t_limit = jnp.sqrt(max_dist2)
+        istack[0] = jnp.int32(0)
+
+        def body(state):
+            isp, lsp, blocked, all_blocked = state
+
+            def do_leaf(args):
+                isp, lsp, blocked, all_blocked = args
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                all_blocked = jnp.min(blocked)
+                return isp, lsp, blocked, all_blocked
+
+            def do_inner(args):
+                isp, lsp, blocked, all_blocked = args
+                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
+                return isp, lsp, blocked, all_blocked
+
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+
+        init = (
+            jnp.int32(1),
+            jnp.int32(0),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            jnp.int32(0),
+        )
+        _, _, blocked, _ = jax.lax.while_loop(
+            lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
+        )
+        out[:, :] = blocked
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming traversal (scenes larger than VMEM)
+# ---------------------------------------------------------------------------
+#
+# VMEM-resident scenes cap at ~300k triangles (every 512-byte leaf group +
+# attribute row resident; docs/DESIGN.md). The streaming variants keep the
+# NODE tables in VMEM (they collapse 4:1 in the BVH4 packing and stay small)
+# but leave the triangle/attribute rows in HBM (memory_space=ANY), fetching
+# one row per leaf visit into a 2-slot VMEM ring via async DMA. The leaf
+# stack provides lookahead: after every visit that changes the pending-leaf
+# top, the next leaf's row is prefetched, so the DMA latency overlaps the
+# preceding inner visits' compute (the reference's analog is simply "the
+# GPU has enough HBM"; this is the TPU path to its synthetic millions-of-
+# triangles scaling axis, cpu/src/main.c:115-131).
+
+
+def _stream_prefetch(tri_hbm, attr_hbm, tri_ring, attr_ring, sems,
+                     lstack, lsp, inflight, slot):
+    """Ensure the pending-leaf top's row is in flight; returns bookkeeping.
+
+    inflight: leaf id whose DMA occupies `slot` (-1 = none). Exactly one
+    outstanding fetch at a time; each issued DMA is waited exactly once
+    (stale prefetches are retired with a wait before reuse).
+    """
+    top = jnp.where(lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1, -1)
+
+    def issue(args):
+        inflight, slot = args
+
+        def retire(s):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(inflight, 1), :],
+                tri_ring.at[pl.ds(s, 1), :],
+                sems.at[s],
+            ).wait()
+            if attr_hbm is not None:
+                pltpu.make_async_copy(
+                    attr_hbm.at[pl.ds(inflight, 1), :],
+                    attr_ring.at[pl.ds(s, 1), :],
+                    sems.at[2 + s],
+                ).wait()
+            return s
+
+        jax.lax.cond(inflight >= 0, retire, lambda s: s, slot)
+        new_slot = jnp.where(inflight >= 0, 1 - slot, slot)
+        pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(top, 1), :],
+            tri_ring.at[pl.ds(new_slot, 1), :],
+            sems.at[new_slot],
+        ).start()
+        if attr_hbm is not None:
+            pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(top, 1), :],
+                attr_ring.at[pl.ds(new_slot, 1), :],
+                sems.at[2 + new_slot],
+            ).start()
+        return top, new_slot
+
+    return jax.lax.cond(
+        (top >= 0) & (top != inflight),
+        issue,
+        lambda args: args,
+        (inflight, slot),
+    )
+
+
+def _stream_drain(tri_hbm, attr_hbm, tri_ring, attr_ring, sems, inflight,
+                  slot):
+    """Retire a trailing prefetch so no DMA semaphore stays signaled."""
+
+    def retire(args):
+        inflight, slot = args
+        pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(inflight, 1), :],
+            tri_ring.at[pl.ds(slot, 1), :],
+            sems.at[slot],
+        ).wait()
+        if attr_hbm is not None:
+            pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(inflight, 1), :],
+                attr_ring.at[pl.ds(slot, 1), :],
+                sems.at[2 + slot],
+            ).wait()
+        return jnp.int32(0)
+
+    jax.lax.cond(inflight >= 0, retire, lambda a: jnp.int32(0),
+                 (inflight, slot))
+
+
+def _stream_wait_leaf(tri_hbm, attr_hbm, tri_ring, attr_ring, sems, g,
+                      inflight, slot):
+    """Block until leaf g's row is in `slot` of the ring (hit or fetch)."""
+
+    def hit(args):
+        inflight, slot = args
+        pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(g, 1), :],
+            tri_ring.at[pl.ds(slot, 1), :],
+            sems.at[slot],
+        ).wait()
+        if attr_hbm is not None:
+            pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(g, 1), :],
+                attr_ring.at[pl.ds(slot, 1), :],
+                sems.at[2 + slot],
+            ).wait()
+        return jnp.int32(-1), slot
+
+    def miss(args):
+        inflight, slot = args
+
+        # Retire any stale prefetch, then fetch g synchronously.
+        def retire(s):
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(inflight, 1), :],
+                tri_ring.at[pl.ds(s, 1), :],
+                sems.at[s],
+            ).wait()
+            if attr_hbm is not None:
+                pltpu.make_async_copy(
+                    attr_hbm.at[pl.ds(inflight, 1), :],
+                    attr_ring.at[pl.ds(s, 1), :],
+                    sems.at[2 + s],
+                ).wait()
+            return s
+
+        jax.lax.cond(inflight >= 0, retire, lambda s: s, slot)
+        dma = pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(g, 1), :],
+            tri_ring.at[pl.ds(slot, 1), :],
+            sems.at[slot],
+        )
+        dma.start()
+        if attr_hbm is not None:
+            dma2 = pltpu.make_async_copy(
+                attr_hbm.at[pl.ds(g, 1), :],
+                attr_ring.at[pl.ds(slot, 1), :],
+                sems.at[2 + slot],
+            )
+            dma2.start()
+            dma.wait()
+            dma2.wait()
+        else:
+            dma.wait()
+        return jnp.int32(-1), slot
+
+    return jax.lax.cond(inflight == g, hit, miss, (inflight, slot))
+
+
+def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
+                           compressed: bool = False):
+    """Dual-pop closest hit with HBM-streamed leaf rows."""
+
+    def kernel(*refs):
+        if n_attr:
+            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
+            outs = refs[10:13 + n_attr]
+            istack, lstack, tri_ring, attr_ring, sems = refs[13 + n_attr:]
+        else:
+            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
+            outs = refs[9:12]
+            istack, lstack, tri_ring, sems = refs[12:]
+            attr = None
+            attr_ring = None
+        t_out, idx_out, nd_out = outs[:3]
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        istack[0] = jnp.int32(0)
+
+        def body(state):
+            isp, lsp, inflight, slot, t, idx, nd, av = state
+
+            def do_leaf(args):
+                isp, lsp, inflight, slot, t, idx, nd, av = args
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                inflight, slot = _stream_wait_leaf(
+                    tri, attr, tri_ring, attr_ring, sems, g, inflight, slot
+                )
+                tri_row = tri_ring[pl.ds(slot, 1), :]
+                if n_attr:
+                    arow = attr_ring[pl.ds(slot, 1), :]
+                    for j in range(L):
+                        t, idx, nd, av = _attr_leaf_update(
+                            o, d, tri_row, arow, g, j, L, t, idx, nd, av
+                        )
+                else:
+                    for j in range(L):
+                        tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
+                        better = tj < t
+                        t = jnp.where(better, tj, t)
+                        idx = jnp.where(better, g * L + j, idx)
+                        nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+                return isp, lsp, inflight, slot, t, idx, nd, av
+
+            def do_inner(args):
+                isp, lsp, inflight, slot, t, idx, nd, av = args
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, o, inv, t, istack, lstack, isp, lsp, arity,
+                    compressed,
+                )
+                return isp, lsp, inflight, slot, t, idx, nd, av
+
+            state = jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+            isp, lsp, inflight, slot, t, idx, nd, av = state
+            inflight, slot = _stream_prefetch(
+                tri, attr, tri_ring, attr_ring, sems, lstack, lsp,
+                inflight, slot,
+            )
+            return isp, lsp, inflight, slot, t, idx, nd, av
+
+        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        init = (
+            jnp.int32(1), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+            jnp.full((SUBLANES, LANES), -1, jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            tuple(zero for _ in range(n_attr)),
+        )
+        state = jax.lax.while_loop(
+            lambda s: (s[0] > 0) | (s[1] > 0), body, init
+        )
+        _, _, inflight, slot, t, idx, nd, av = state
+        _stream_drain(tri, attr, tri_ring, attr_ring, sems, inflight, slot)
+        t_out[:, :] = t
+        idx_out[:, :] = idx
+        nd_out[:, :] = nd
+        for ref, val in zip(outs[3:], av):
+            ref[:, :] = val
+
+    return kernel
+
+
+def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False):
+    """Dual-pop any-hit occlusion with HBM-streamed leaf rows."""
+
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
+               istack, lstack, tri_ring, sems):
+        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        max_dist2 = m2[:, :]
+        t_limit = jnp.sqrt(max_dist2)
+        istack[0] = jnp.int32(0)
+
+        def body(state):
+            isp, lsp, inflight, slot, blocked, all_blocked = state
+
+            def do_leaf(args):
+                isp, lsp, inflight, slot, blocked, all_blocked = args
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                inflight, slot = _stream_wait_leaf(
+                    tri, None, tri_ring, None, sems, g, inflight, slot
+                )
+                row = tri_ring[pl.ds(slot, 1), :]
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                all_blocked = jnp.min(blocked)
+                return isp, lsp, inflight, slot, blocked, all_blocked
+
+            def do_inner(args):
+                isp, lsp, inflight, slot, blocked, all_blocked = args
+                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
+                return isp, lsp, inflight, slot, blocked, all_blocked
+
+            state = jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+            isp, lsp, inflight, slot, blocked, all_blocked = state
+            inflight, slot = _stream_prefetch(
+                tri, None, tri_ring, None, sems, lstack, lsp, inflight, slot
+            )
+            return isp, lsp, inflight, slot, blocked, all_blocked
+
+        init = (
+            jnp.int32(1), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            jnp.int32(0),
+        )
+        state = jax.lax.while_loop(
+            lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[5] == 0), body, init
+        )
+        _, _, inflight, slot, blocked, _ = state
+        _stream_drain(tri, None, tri_ring, None, sems, inflight, slot)
         out[:, :] = blocked
 
     return kernel
@@ -789,7 +1340,7 @@ def _attr_leaf_update(o, d, tri_row, arow, g, j, L, t, idx, nd, av):
     return t, idx, nd, av
 
 
-def _closest_attr_kernel(L: int, arity: int):
+def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
     """Closest hit + surface attributes (12 extra carried planes)."""
 
     def kernel(ox, oy, oz, dx, dy, dz, cbox, cmeta, tri, attr,
@@ -820,10 +1371,14 @@ def _closest_attr_kernel(L: int, arity: int):
 
             def do_inner(args):
                 sp, t, idx, nd, av = args
-                crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = cmeta[pl.ds(e, 1), :]
                 if arity >= 4:
-                    ms = list(_slab_multi(crow, o, inv, t, arity))
+                    mn_row, mx_row = _load_node_row(cbox, e, compressed)
+                    ms = list(
+                        _slab_multi(
+                            mn_row, mx_row, o, inv, t, arity, compressed
+                        )
+                    )
                     ms = [
                         jnp.where(mrow[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
                         for k in range(arity)
@@ -834,6 +1389,7 @@ def _closest_attr_kernel(L: int, arity: int):
                         stack[sp] = es[k]
                         sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 else:
+                    crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
                     ml, mr = _slab_pair(crow, o, inv, t)
                     left_near = ml <= mr
                     near_e = jnp.where(left_near, mrow[0, 0], mrow[0, 1])
@@ -871,20 +1427,33 @@ def _ray_specs(n: int):
     ]
 
 
-def _scene_specs():
+def _scene_specs(stream: bool = False):
     return [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cbox
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cmeta
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri
+        # Streaming: triangle rows stay in HBM, fetched per leaf visit.
+        pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
     ]
 
 
+def _stream_scratch(n_rings: int):
+    return (
+        [pltpu.VMEM((2, LANES), jnp.float32) for _ in range(n_rings)]
+        + [pltpu.SemaphoreType.DMA((2 * n_rings,))]
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+    jax.jit,
+    static_argnames=(
+        "leaf_size", "interpret", "stack_depth", "dual", "compressed",
+        "stream",
+    ),
 )
 def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
-    stack_depth: int = STACK_DEPTH,
+    stack_depth: int = STACK_DEPTH, dual: bool = False,
+    compressed: bool = False, stream: bool = False,
 ) -> Hit:
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128)."""
     rows = o.x.shape[0]
@@ -897,16 +1466,31 @@ def closest_tiles(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
     ]
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
+    assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
+    assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    if stream:
+        kernel = _closest_stream_kernel(leaf_size, arity, compressed=compressed)
+        scratch = (
+            [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
+        )
+    elif dual and arity >= 4:
+        kernel = _closest_dual_kernel(leaf_size, arity, compressed=compressed)
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+    else:
+        kernel = (
+            _closest4_kernel(leaf_size, arity, compressed) if arity >= 4
+            else _closest_kernel(leaf_size)
+        )
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
     t, idx, nd = pl.pallas_call(
-        _closest4_kernel(leaf_size, arity) if arity >= 4
-        else _closest_kernel(leaf_size),
+        kernel,
         grid=grid,
         out_shape=out_shape,
-        in_specs=_ray_specs(6) + _scene_specs(),
+        in_specs=_ray_specs(6) + _scene_specs(stream),
         out_specs=[
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * 3,
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -916,11 +1500,16 @@ def closest_tiles(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+    jax.jit,
+    static_argnames=(
+        "leaf_size", "interpret", "stack_depth", "dual", "compressed",
+        "stream",
+    ),
 )
 def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
+    dual: bool = False, compressed: bool = False, stream: bool = False,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -936,15 +1525,32 @@ def closest_tiles_full(
     block = pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
+    assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    if stream:
+        kernel = _closest_stream_kernel(
+            leaf_size, arity, n_attr=12, compressed=compressed
+        )
+        scratch = (
+            [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(2)
+        )
+    elif dual and arity >= 4:
+        kernel = _closest_dual_kernel(
+            leaf_size, arity, n_attr=12, compressed=compressed
+        )
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+    else:
+        kernel = _closest_attr_kernel(leaf_size, arity, compressed)
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
     res = pl.pallas_call(
-        _closest_attr_kernel(leaf_size, arity),
+        kernel,
         grid=(ntiles,),
         out_shape=out_shape,
-        in_specs=_ray_specs(6) + _scene_specs() + [
-            pl.BlockSpec(memory_space=pltpu.VMEM)   # attr rows
+        in_specs=_ray_specs(6) + _scene_specs(stream) + [
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
         ],
         out_specs=[block] * 15,
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -962,27 +1568,47 @@ def closest_tiles_full(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_size", "interpret", "stack_depth")
+    jax.jit,
+    static_argnames=(
+        "leaf_size", "interpret", "stack_depth", "dual", "compressed",
+        "stream",
+    ),
 )
 def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
+    dual: bool = False, compressed: bool = False, stream: bool = False,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
+    assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
+    assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    if stream:
+        kernel = _occluded_stream_kernel(leaf_size, arity, compressed=compressed)
+        scratch = (
+            [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
+        )
+    elif dual and arity >= 4:
+        kernel = _occluded_dual_kernel(leaf_size, arity, compressed=compressed)
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+    else:
+        kernel = (
+            _occluded4_kernel(leaf_size, arity, compressed) if arity >= 4
+            else _occluded_kernel(leaf_size)
+        )
+        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
     blocked = pl.pallas_call(
-        _occluded4_kernel(leaf_size, arity) if arity >= 4
-        else _occluded_kernel(leaf_size),
+        kernel,
         grid=(ntiles,),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-        in_specs=_ray_specs(7) + _scene_specs(),
+        in_specs=_ray_specs(7) + _scene_specs(stream),
         out_specs=pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -992,7 +1618,8 @@ def occluded_tiles(
 
 
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
-                stack_depth: int = STACK_DEPTH):
+                stack_depth: int = STACK_DEPTH, dual: bool = False,
+                compressed: bool = False, stream: bool = False):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
     packed_dev: (cbox, cmeta, tri[, attr]) device arrays from a PackedBVH.
@@ -1016,7 +1643,8 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             h = closest_tiles_full(
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
-                stack_depth=stack_depth,
+                stack_depth=stack_depth, dual=dual, compressed=compressed,
+                stream=stream,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -1027,6 +1655,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
         h = closest_tiles(
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
+            dual=dual, compressed=compressed, stream=stream,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -1041,6 +1670,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             o.reshape(rows, LANES), d.reshape(rows, LANES),
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
+            dual=dual, compressed=compressed, stream=stream,
         )
         return blocked.reshape(R)
 

@@ -232,7 +232,8 @@ def render_bvh_jax(
     jax.jit,
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
-        "interpret", "fast_light", "stack_depth",
+        "interpret", "fast_light", "stack_depth", "compressed", "dual",
+        "stream",
     ),
 )
 def _render_bvh_pallas(
@@ -249,6 +250,9 @@ def _render_bvh_pallas(
     fast_light: bool = True,
     stack_depth: int = 96,
     y_offset=0,
+    compressed: bool = False,
+    dual: bool = True,
+    stream: bool = False,
 ):
     from . import pallas_trace
 
@@ -257,7 +261,8 @@ def _render_bvh_pallas(
     )
     closest_fn, occluded_fn = pallas_trace.make_tracer(
         packed_dev, leaf_size, interpret=interpret, ds=ds,
-        stack_depth=stack_depth,
+        stack_depth=stack_depth, compressed=compressed, dual=dual,
+        stream=stream,
     )
     if not fast_light:
         occluded_fn = occluded_from_closest(closest_fn)
@@ -280,6 +285,9 @@ def render_bvh_pallas(
     interpret: bool = False,
     fast_light: bool = True,
     stack_depth: int = 96,
+    compressed: bool = False,
+    dual: bool = True,
+    stream: bool = False,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -294,5 +302,5 @@ def render_bvh_pallas(
     return _render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
-        stack_depth,
+        stack_depth, compressed=compressed, dual=dual, stream=stream,
     )

@@ -70,6 +70,7 @@ def _pad_tiles(ntiles: int, n_devices: int) -> int:
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "stack_depth",
         "tile_rows", "tile_cols", "variant", "mesh", "interpret",
+        "compressed",
     ),
 )
 def _render_sharded(
@@ -86,6 +87,7 @@ def _render_sharded(
     variant: str,
     mesh: Mesh,
     interpret: bool,
+    compressed: bool = False,
 ):
     K = tile_rows * tile_cols
     n_dev = mesh.devices.size
@@ -111,7 +113,7 @@ def _render_sharded(
         if variant == "pallas":
             closest_fn, occluded_fn = pallas_trace.make_tracer(
                 tracer_r, leaf_size, interpret=interpret, ds=ds_r,
-                stack_depth=stack_depth,
+                stack_depth=stack_depth, compressed=compressed,
             )
         elif variant == "jax":
             closest_fn, occluded_fn = trace_bvh.make_tracer(
@@ -157,6 +159,7 @@ def render_sharded(
     tile_cols: int = 32,
     variant: str = "pallas",
     interpret: bool = False,
+    compressed: bool = False,
 ):
     """Render with image tiles sharded over `mesh` (scene replicated).
 
@@ -167,6 +170,7 @@ def render_sharded(
     return _render_sharded(
         ds, tracer_data, cam_arrays, width, height, bounces, leaf_size,
         stack_depth, tile_rows, tile_cols, variant, mesh, interpret,
+        compressed,
     )
 
 
@@ -183,15 +187,34 @@ def make_train_step(
     lr: float = 1e-2,
     tile_rows: int = 32,
     tile_cols: int = 32,
+    variant: str = "brute",
+    tracer_data=None,
+    leaf_size: int = 8,
+    stack_depth: int = 96,
+    slot_map=None,
+    interpret: bool = False,
+    compressed: bool = False,
 ):
     """Jitted SGD step optimizing vertex positions against a target image.
 
-    The differentiable forward is the brute-force tracer (pure jnp, exact
-    gradients through Möller–Trumbore and shading); rays are sharded over the
-    mesh, verts/materials replicated, so XLA all-reduces the vertex gradient
-    across devices automatically — the psum-overlapped-with-backward pattern
-    of the north star.
+    variant selects the differentiable forward:
+      - "brute": pure-jnp all-triangles tracer, exact AD end to end;
+        rays sharded via GSPMD annotations, verts replicated, XLA inserts
+        the gradient all-reduce.
+      - "jax" / "pallas": the PRODUCTION BVH tracers (packet while_loop /
+        Pallas attribute kernels) wrapped by ops/diff.make_diff_closest —
+        traversal runs under stop_gradient for the frozen hit topology,
+        gradients flow through the analytic recompute (and, for HitFull,
+        the scatter-backed material resolve). These run inside shard_map
+        with scene/BVH replicated and an explicit psum of the loss.
+        `tracer_data` is the DeviceBVH / packed_dev tuple (built from the
+        CURRENT verts — rebuild it as vertices move, exactly like any
+        BVH-based differentiable renderer refits its acceleration
+        structure between optimization steps); `slot_map` must be the
+        flattened BVH's slot permutation so hit indices address ds planes.
     """
+    from ..ops import diff
+
     faces = jnp.asarray(scene.faces)
     mat_idx = jnp.asarray(scene.mat_idx)
     consts = (
@@ -217,24 +240,68 @@ def make_train_step(
     tile_sharding = NamedSharding(mesh, P("tiles"))
     rep_sharding = NamedSharding(mesh, P())
 
-    def forward(verts, o_t: Vec3, d_t: Vec3):
+    def make_tracers(ds):
+        if variant == "pallas":
+            return pallas_trace.make_tracer(
+                tracer_data, leaf_size, interpret=interpret, ds=ds,
+                stack_depth=stack_depth, compressed=compressed,
+            )
+        if variant == "jax":
+            return trace_bvh.make_tracer(
+                tracer_data, ds, leaf_size, stack_depth, packet=K
+            )
+        return make_brute_tracer(ds)
+
+    def forward_local(verts, o_t: Vec3, d_t: Vec3):
+        """(local_tiles, K) rays -> (local_tiles, K, 3) image, diff."""
         kd, ks, kr, lp, kl = consts
-        ds = build_device_scene(verts, faces, mat_idx, kd, ks, kr, lp, kl)
+        ds = build_device_scene(
+            verts, faces, mat_idx, kd, ks, kr, lp, kl, slot_map=slot_map
+        )
+        nt_local = o_t.x.shape[0]
         of = Vec3(*(p.reshape(-1) for p in o_t))
         df = Vec3(*(p.reshape(-1) for p in d_t))
-        closest_fn, occluded_fn = make_brute_tracer(ds)
-        col = trace_rays(ds, closest_fn, occluded_fn, of, df, bounces)
+        closest_fn, occluded_fn = make_tracers(ds)
+        if variant == "brute":
+            col = trace_rays(ds, closest_fn, occluded_fn, of, df, bounces)
+        else:
+            col = diff.trace_rays_diff(
+                ds, closest_fn, occluded_fn, of, df, bounces
+            )
         col = col.clamp(0.0, 1.0)
-        return jnp.stack([col.x, col.y, col.z], axis=-1).reshape(ntiles_p, K, 3)
+        return jnp.stack([col.x, col.y, col.z], axis=-1).reshape(
+            nt_local, K, 3
+        )
 
     # Pad tiles (added to round ntiles up to the device count) must not
     # contribute to the loss or its gradient.
     tile_mask = (jnp.arange(ntiles_p) < ntiles).astype(jnp.float32)[:, None, None]
     n_real = ntiles * K * 3
 
-    def loss_fn(verts, o_t, d_t, target):
-        img = forward(verts, o_t, d_t)
-        return jnp.sum(tile_mask * (img - target) ** 2) / n_real
+    if variant == "brute":
+        def loss_fn(verts, o_t, d_t, target):
+            img = forward_local(verts, o_t, d_t)
+            return jnp.sum(tile_mask * (img - target) ** 2) / n_real
+    else:
+        per = ntiles_p // n_dev
+
+        def shard_loss(verts, o_t, d_t, target):
+            img = forward_local(verts, o_t, d_t)
+            start = jax.lax.axis_index("tiles") * per
+            mask = (
+                (start + jnp.arange(per)) < ntiles
+            ).astype(jnp.float32)[:, None, None]
+            partial = jnp.sum(mask * (img - target) ** 2) / n_real
+            return jax.lax.psum(partial, "tiles")
+
+        def loss_fn(verts, o_t, d_t, target):
+            return jax.shard_map(
+                shard_loss,
+                mesh=mesh,
+                in_specs=(P(), P("tiles"), P("tiles"), P("tiles")),
+                out_specs=P(),
+                check_vma=False,
+            )(verts, o_t, d_t, target)
 
     @jax.jit
     def step(verts, o_t, d_t, target):

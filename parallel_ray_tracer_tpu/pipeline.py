@@ -43,6 +43,8 @@ class Pipeline:
     build_ms: float
     bvh_stats: Optional[dict] = None
     pallas_stack_depth: int = 96          # worst-case SMEM stack words
+    compressed: bool = False              # bf16-pair box rows (pallas)
+    stream: bool = False                  # HBM-streamed leaf rows (pallas)
 
     def bvh_metrics_banner(self) -> Optional[str]:
         """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
@@ -97,6 +99,8 @@ class Pipeline:
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 interpret=interpret, fast_light=cfg.fast_light,
                 stack_depth=self.pallas_stack_depth,
+                compressed=self.compressed, dual=cfg.dual_pop,
+                stream=self.stream,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -141,7 +145,8 @@ class Pipeline:
                 self.ds, self.packed_dev, cam_arrays, cfg.width, rows,
                 cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,
                 interpret, cfg.fast_light, self.pallas_stack_depth,
-                y_offset=y0,
+                y_offset=y0, compressed=self.compressed, dual=cfg.dual_pop,
+                stream=self.stream,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -149,7 +154,9 @@ class Pipeline:
 def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     """Load assets, build + flatten + upload the BVH, stage the scene."""
     native = None
-    if cfg.use_native:
+    if cfg.use_native and not cfg.true_sah:
+        # true_sah exists only in the NumPy builder (the C++ one implements
+        # the reference's squared-diagonal formula for parity).
         from .native import builder as native
 
         if not native.available():
@@ -213,20 +220,24 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 seed=cfg.seed,
                 leaf_size=leaf_size,
             )
-        # bf16 box rows compile on the portable (jax) path and in Pallas
-        # interpret mode; the compiled TPU kernels cannot yet dynamically
-        # slice single rows of 16-bit arrays (Mosaic sublane granularity),
-        # so the packed arrays stay f32 there. dbvh (jax variant) still
-        # honors bf16_bvh.
-        packed_bf16 = cfg.bf16_bvh and _pallas_bf16_supported()
+        # bf16 box rows: for bvh_width >= 4 the packers emit conservative
+        # (min|max) bf16 pairs in f32-viewed lanes, which the compiled
+        # Mosaic kernels consume directly (pack_box_bf16_pairs). Only the
+        # legacy binary (width 2) table still needs a raw bf16 dtype, which
+        # Mosaic cannot dynamically row-slice — that combination falls back
+        # to f32 on TPU with a warning.
+        packed_bf16 = cfg.bf16_bvh and (
+            cfg.bvh_width >= 4 or _pallas_bf16_supported()
+        )
         if cfg.bf16_bvh and not packed_bf16:
             import warnings
 
             warnings.warn(
-                "bf16_bvh requested but the compiled TPU Pallas kernels "
-                "cannot consume 16-bit box rows yet; the pallas variant "
-                "will traverse f32 boxes (the jax variant stays bf16). "
-                "Benchmark numbers from the pallas path are f32 numbers.",
+                "bf16_bvh with bvh_width=2 is not supported by the "
+                "compiled TPU Pallas kernels (Mosaic cannot dynamically "
+                "slice single rows of 16-bit arrays); the pallas variant "
+                "will traverse f32 boxes. Use bvh_width>=4 for compiled "
+                "bf16 traversal.",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -251,6 +262,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 leaf_threshold=max(cfg.leaf_threshold, leaf_size),
                 sah_bins=cfg.sah_bins,
                 seed=cfg.seed,
+                true_sah=cfg.true_sah,
             )
             flat = flatten_bvh(bvh, tv, leaf_size=leaf_size)
             pack_fn = {
@@ -266,6 +278,20 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         ds_kwargs["slot_map"] = flat.slot_map
 
     ds = device_scene_from_host(scene, ambient=cfg.ambient, **ds_kwargs)
+
+    # HBM streaming decision: every packed row (node, meta, triangle,
+    # attribute) lane-pads to 512 B of VMEM; scenes past the budget keep
+    # leaf rows in HBM (the kernels prefetch per leaf visit).
+    stream = False
+    if cfg.use_bvh and packed is not None:
+        n_rows = (
+            packed.cbox.shape[0] + packed.cmeta.shape[0]
+            + 2 * packed.tri.shape[0]   # tri + attr rows
+        )
+        resident = 512 * n_rows
+        stream = cfg.stream == "on" or (
+            cfg.stream == "auto" and resident > 48 * 1024 * 1024
+        )
 
     pallas_stack_depth = 96
     if cfg.use_bvh:
@@ -300,6 +326,8 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         build_ms=build_ms,
         bvh_stats=bvh_stats,
         pallas_stack_depth=pallas_stack_depth,
+        compressed=bool(packed is not None and getattr(packed, "compressed", False)),
+        stream=stream,
     )
 
 
@@ -312,6 +340,9 @@ def _pallas_bf16_supported() -> bool:
 def _pick_leaf_size(cfg: RenderConfig) -> int:
     """Leaf group size for the kernels: power of two, 12 floats per triangle
     must fit the 128-lane group row."""
+    if cfg.leaf_size is not None:
+        assert cfg.leaf_size * pallas_trace.TRI_STRIDE <= pallas_trace.LANES
+        return cfg.leaf_size
     for cand in (8, 4, 2, 1):
         if cand * pallas_trace.TRI_STRIDE <= pallas_trace.LANES:
             return cand

@@ -1,0 +1,209 @@
+"""Per-pass kernel benchmark on coherent AND incoherent ray sets.
+
+The frame profile (metrics/profile_frame.json) shows incoherent bounce
+passes dominate the frame. This harness generates the actual bounce-k ray
+populations for car_boxed @1080p and times a traversal pass per kernel
+configuration with the chained-marginal methodology, so kernel experiments
+(arity, dual-pop, bf16 rows) are judged on the rays that matter.
+
+Usage: python scripts/bench_pass.py [--width 4] [--passes closest,occluded]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from parallel_ray_tracer_tpu import pipeline
+from parallel_ray_tracer_tpu.config import RenderConfig
+from parallel_ray_tracer_tpu.models.camera import ray_basis
+from parallel_ray_tracer_tpu.ops import pallas_trace
+from parallel_ray_tracer_tpu.ops.render import generate_rays_tiled
+from parallel_ray_tracer_tpu.ops.shade import mask_dead_rays
+from parallel_ray_tracer_tpu.ops.vecmath import Vec3
+
+W, H = 1920, 1080
+
+
+def marginal_ms(fn, k_lo=2, k_hi=8, reps=3):
+    def timed(k):
+        float(fn(k))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+
+
+def bounce_ray_sets(pipe, n_bounces=2):
+    """[(o, d, alive)] for bounce 0..n_bounces (flat (R,) planes)."""
+    ds = pipe.ds
+    packed = pipe.packed_dev
+    cam_arrays = tuple(
+        jnp.asarray(a) for a in ray_basis(pipe.camera(), W, H)
+    )
+    o, d = generate_rays_tiled(cam_arrays, W, H, 32, 32)
+    closest_fn, _ = pallas_trace.make_tracer(
+        packed, pipe.leaf_size, ds=None, stack_depth=pipe.pallas_stack_depth,
+        compressed=pipe.compressed,
+    )
+
+    sets = []
+    alive = jnp.ones(o.x.shape, bool)
+    for b in range(n_bounces + 1):
+        sets.append((o, d, alive))
+        o_m, d_m = mask_dead_rays(o, d, alive)
+        h = closest_fn(o_m, d_m)
+        is_hit = h.idx >= 0
+        alive = alive & is_hit
+        t_safe = jnp.where(is_hit, h.t, 1.0)
+        p = o + d * t_safe
+        # Reflection off the winning triangle (attr planes carry raw n).
+        mag2 = h.n.mag2()
+        inv = 1.0 / jnp.sqrt(jnp.maximum(mag2, 1e-30))
+        n = Vec3(h.n.x * inv, h.n.y * inv, h.n.z * inv)
+        n = (-n).where(h.norm_dir, n)
+        refl = d + n * (2.0 * jnp.abs(d.dot(n)))
+        rmag = jnp.sqrt(jnp.maximum(refl.mag2(), 1e-30))
+        d = refl / rmag
+        o = p
+    return sets, ds
+
+
+def shadow_rays(ds, o, d, alive, closest_fn):
+    """Shadow-ray population for a bounce's hits (light 0)."""
+    o_m, d_m = mask_dead_rays(o, d, alive)
+    h = closest_fn(o_m, d_m)
+    is_hit = alive & (h.idx >= 0)
+    t_safe = jnp.where(h.idx >= 0, h.t, 1.0)
+    p = o + d * t_safe
+    lp = Vec3(
+        jnp.broadcast_to(ds.lights_pos.x[0], p.x.shape),
+        jnp.broadcast_to(ds.lights_pos.y[0], p.x.shape),
+        jnp.broadcast_to(ds.lights_pos.z[0], p.x.shape),
+    )
+    lvec = lp - p
+    mag2 = lvec.mag2()
+    mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
+    ldir = lvec / mag
+    p_m, l_m = mask_dead_rays(p, ldir, is_hit)
+    return p_m, l_m, mag2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=4, choices=(2, 4, 8))
+    ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--dual", action="store_true",
+                    help="dual-pop two-stack traversal kernels")
+    ap.add_argument("--true-sah", action="store_true")
+    ap.add_argument("--leaf-size", type=int, default=None)
+    ap.add_argument("--leaf-threshold", type=int, default=8)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--tag", default=None)
+    args = ap.parse_args()
+
+    cfg = RenderConfig(
+        width=W, height=H, scene="car_boxed", bvh_heuristic=6,
+        tile_rows=32, tile_cols=32, bvh_width=args.width,
+        true_sah=args.true_sah, leaf_size=args.leaf_size,
+        bf16_bvh=args.bf16, leaf_threshold=args.leaf_threshold,
+    )
+    pipe = pipeline.prepare(cfg)
+    packed = pipe.packed_dev
+    leaf = pipe.leaf_size
+    sdepth = pipe.pallas_stack_depth
+    cbox, cmeta, tri, attr = packed
+
+    sets, ds = bounce_ray_sets(pipe, args.bounces)
+    closest_fn, _ = pallas_trace.make_tracer(
+        packed, leaf, ds=None, stack_depth=sdepth,
+        compressed=pipe.compressed,
+    )
+
+    results = {
+        "bvh_width": args.width, "dual": bool(args.dual),
+        "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
+        "bf16": bool(args.bf16), "leaf_threshold": args.leaf_threshold,
+    }
+    dual = bool(args.dual)
+    comp = pipe.compressed
+    for b, (o, d, alive) in enumerate(sets):
+        o_m, d_m = mask_dead_rays(o, d, alive)
+        rows = o_m.x.shape[0] // 128
+        o2 = Vec3(*(p.reshape(rows, 128) for p in o_m))
+        d2 = Vec3(*(p.reshape(rows, 128) for p in d_m))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_c(ox0, k: int, _o2=o2, _d2=d2):
+            def body(i, ox):
+                h = pallas_trace.closest_tiles(
+                    cbox, cmeta, tri, Vec3(ox, _o2.y, _o2.z), _d2,
+                    leaf_size=leaf, stack_depth=sdepth, dual=dual,
+                    compressed=comp,
+                )
+                return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
+            return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
+
+        key = f"closest_b{b}_ms"
+        results[key] = marginal_ms(lambda k: chain_c(o2.x, k))
+        print(key, f"{results[key]:.2f}", flush=True)
+
+        so, sd, sm2 = shadow_rays(ds, o, d, alive, closest_fn)
+        so2 = Vec3(*(p.reshape(rows, 128) for p in so))
+        sd2 = Vec3(*(p.reshape(rows, 128) for p in sd))
+        sm22 = sm2.reshape(rows, 128)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_o(px0, k: int, _so2=so2, _sd2=sd2, _sm2=sm22):
+            def body(i, px):
+                blocked = pallas_trace.occluded_tiles(
+                    cbox, cmeta, tri, Vec3(px, _so2.y, _so2.z), _sd2, _sm2,
+                    leaf_size=leaf, stack_depth=sdepth, dual=dual,
+                    compressed=comp,
+                )
+                return px + blocked.astype(jnp.float32) * 1e-12
+            return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
+
+        key = f"occluded_b{b}_ms"
+        results[key] = marginal_ms(lambda k: chain_o(so2.x, k))
+        print(key, f"{results[key]:.2f}", flush=True)
+
+    tag = args.tag or (
+        f"w{args.width}" + ("_dual" if dual else "")
+        + ("_tsah" if args.true_sah else "")
+        + (f"_L{pipe.leaf_size}" if args.leaf_size else "")
+        + ("_bf16" if args.bf16 else "")
+        + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "metrics", f"bench_pass_{tag}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

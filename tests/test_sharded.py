@@ -92,6 +92,46 @@ class TestShardedTraining:
         assert bool(jnp.isfinite(v).all())
         assert losses[-1] < losses[0]
 
+    def test_pallas_variant_step(self, tiny_scene, mesh):
+        """Training THROUGH the production Pallas tracer under shard_map
+        (diff wrapper: frozen topology + analytic recompute). The first
+        step's vertex update must closely match the brute-force tracer's
+        (same differentiable semantics away from silhouettes)."""
+        from parallel_ray_tracer_tpu.ops import pallas_trace
+        from parallel_ray_tracer_tpu.ops.bvh import build_bvh
+        from parallel_ray_tracer_tpu.ops.bvh_flat import flatten_bvh
+
+        tv = tiny_scene.triangle_vertices()
+        bvh = build_bvh(tv, heuristic=6, leaf_threshold=8)
+        flat = flatten_bvh(bvh, tv, leaf_size=8)
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        attr = pallas_trace.pack_attr(
+            flat, tiny_scene.mat_idx, tiny_scene.mats_kd,
+            tiny_scene.mats_ks, tiny_scene.mats_kr,
+        )
+        packed_dev = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri), jnp.asarray(attr),
+        )
+        sd = pallas_trace.required_stack_depth(flat.depth, 4)
+        step_p, prep_p = sharded.make_train_step(
+            tiny_scene, mesh, 64, 32, bounces=1, lr=1e-3,
+            variant="pallas", tracer_data=packed_dev, leaf_size=8,
+            stack_depth=sd, slot_map=flat.slot_map, interpret=True,
+        )
+        step_b, prep_b = sharded.make_train_step(
+            tiny_scene, mesh, 64, 32, bounces=1, lr=1e-3,
+        )
+        vp, op_, dp, tp = prep_p()
+        vb, ob, db, tb = prep_b()
+        vp1, lp = step_p(vp, op_, dp, tp)
+        vb1, lb = step_b(vb, ob, db, tb)
+        assert np.isfinite(float(lp)) and float(lp) > 0
+        assert abs(float(lp) - float(lb)) < 1e-3 * max(1.0, float(lb))
+        np.testing.assert_allclose(
+            np.asarray(vp1), np.asarray(vb1), atol=1e-5
+        )
+
     def test_gradients_match_single_device(self, tiny_scene, mesh):
         """The sharded step must equal an unsharded one numerically."""
         step8, prep8 = sharded.make_train_step(
