@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16-compressed BVH boxes (conservative rounding)")
     p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4, 8),
                    help="traversal node arity (4 = grandchildren-packed rows)")
+    p.add_argument("--no-dual-pop", action="store_true",
+                   help="single-pop traversal schedule (dual-pop is the "
+                        "default: two inner nodes per iteration, one shared "
+                        "reduction)")
+    p.add_argument("--stream", default="auto", choices=("auto", "on", "off"),
+                   help="HBM-stream triangle/attr rows (auto: by VMEM "
+                        "budget; large scenes only)")
+    p.add_argument("--true-sah", action="store_true",
+                   help="score heuristic-6 splits by true surface area "
+                        "instead of the reference's squared diagonal "
+                        "(NumPy builder)")
     p.add_argument("--tile", default="32x32",
                    help="pixel tile shape ROWSxCOLS (1024 rays per packet)")
     p.add_argument("--iterations", type=int, default=1)
@@ -127,6 +138,9 @@ def config_from_args(args) -> RenderConfig:
         asset_root=args.asset_root,
         num_devices=args.devices,
         use_native=not args.no_native,
+        dual_pop=not args.no_dual_pop,
+        stream=args.stream,
+        true_sah=args.true_sah,
     )
 
 

@@ -1432,7 +1432,7 @@ def _scene_specs(stream: bool = False):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cbox
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cmeta
         # Streaming: triangle rows stay in HBM, fetched per leaf visit.
-        pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
     ]
 
 
@@ -1547,7 +1547,7 @@ def closest_tiles_full(
         grid=(ntiles,),
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(stream) + [
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
+            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM)
         ],
         out_specs=[block] * 15,
         scratch_shapes=scratch,

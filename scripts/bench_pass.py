@@ -56,17 +56,38 @@ def marginal_ms(fn, k_lo=2, k_hi=8, reps=3):
 
 
 def bounce_ray_sets(pipe, n_bounces=2):
-    """[(o, d, alive)] for bounce 0..n_bounces (flat (R,) planes)."""
+    """[(o, d, alive)] for bounce 0..n_bounces (flat (R,) planes).
+
+    Always uses an f32 (uncompressed) tracer for ray-set generation so a
+    --bf16 run only compiles the kernels actually under test.
+    """
     ds = pipe.ds
-    packed = pipe.packed_dev
+    if pipe.compressed:
+        tv = pipe.scene.triangle_vertices()
+        pk = pallas_trace.pack_bvh4(pipe.flat, tv, bf16=False)
+        attr_np = pallas_trace.pack_attr(
+            pipe.flat, pipe.scene.mat_idx, pipe.scene.mats_kd,
+            pipe.scene.mats_ks, pipe.scene.mats_kr,
+        )
+        packed = (
+            jnp.asarray(pk.cbox), jnp.asarray(pk.cmeta),
+            jnp.asarray(pk.tri), jnp.asarray(attr_np),
+        )
+        closest_fn, _ = pallas_trace.make_tracer(
+            packed, pipe.leaf_size, ds=None,
+            stack_depth=pipe.pallas_stack_depth, compressed=False,
+        )
+    else:
+        packed = pipe.packed_dev
     cam_arrays = tuple(
         jnp.asarray(a) for a in ray_basis(pipe.camera(), W, H)
     )
     o, d = generate_rays_tiled(cam_arrays, W, H, 32, 32)
-    closest_fn, _ = pallas_trace.make_tracer(
-        packed, pipe.leaf_size, ds=None, stack_depth=pipe.pallas_stack_depth,
-        compressed=pipe.compressed,
-    )
+    if not pipe.compressed:
+        closest_fn, _ = pallas_trace.make_tracer(
+            packed, pipe.leaf_size, ds=None,
+            stack_depth=pipe.pallas_stack_depth,
+        )
 
     sets = []
     alive = jnp.ones(o.x.shape, bool)
@@ -87,7 +108,7 @@ def bounce_ray_sets(pipe, n_bounces=2):
         rmag = jnp.sqrt(jnp.maximum(refl.mag2(), 1e-30))
         d = refl / rmag
         o = p
-    return sets, ds
+    return sets, ds, closest_fn
 
 
 def shadow_rays(ds, o, d, alive, closest_fn):
@@ -135,11 +156,9 @@ def main():
     sdepth = pipe.pallas_stack_depth
     cbox, cmeta, tri, attr = packed
 
-    sets, ds = bounce_ray_sets(pipe, args.bounces)
-    closest_fn, _ = pallas_trace.make_tracer(
-        packed, leaf, ds=None, stack_depth=sdepth,
-        compressed=pipe.compressed,
-    )
+    # The HitFull tracer for shadow-ray generation is the f32 one from
+    # bounce_ray_sets (a bf16 run only compiles the kernels under test).
+    sets, ds, closest_fn = bounce_ray_sets(pipe, args.bounces)
 
     results = {
         "bvh_width": args.width, "dual": bool(args.dual),

@@ -89,7 +89,7 @@ def main():
         def body(i, ox):
             h = pallas_trace.closest_tiles(
                 cbox, cmeta, tri, Vec3(ox, o2.y, o2.z), d2,
-                leaf_size=leaf, stack_depth=sdepth,
+                leaf_size=leaf, stack_depth=sdepth, dual=True,
             )
             return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
         return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
@@ -103,7 +103,7 @@ def main():
         def body(i, ox):
             h = pallas_trace.closest_tiles_full(
                 cbox, cmeta, tri, attr, Vec3(ox, o2.y, o2.z), d2,
-                leaf_size=leaf, stack_depth=sdepth,
+                leaf_size=leaf, stack_depth=sdepth, dual=True,
             )
             return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
         return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
@@ -113,7 +113,8 @@ def main():
 
     # --- 3. any-hit chain on primary-hit shadow rays ----------------------
     h0 = pallas_trace.closest_tiles(
-        cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth
+        cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
+        dual=True,
     )
     t_safe = jnp.where(h0.idx >= 0, h0.t, 1.0)
     p = Vec3(o2.x + d2.x * t_safe, o2.y + d2.y * t_safe, o2.z + d2.z * t_safe)
@@ -132,7 +133,7 @@ def main():
         def body(i, px):
             blocked = pallas_trace.occluded_tiles(
                 cbox, cmeta, tri, Vec3(px, p.y, p.z), ldir, mag2,
-                leaf_size=leaf, stack_depth=sdepth,
+                leaf_size=leaf, stack_depth=sdepth, dual=True,
             )
             return px + blocked.astype(jnp.float32) * 1e-12
         return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -149,7 +150,7 @@ def main():
                 (origin + eps, dir00, inc_x, inc_y), W, H, TR, TC
             )
             closest_fn, occluded_fn = pallas_trace.make_tracer(
-                packed, leaf, ds=ds_used, stack_depth=sdepth
+                packed, leaf, ds=ds_used, stack_depth=sdepth, dual=True,
             )
             col = trace_rays(ds_used, closest_fn, occluded_fn, o_f, d_f, bounces)
             return jnp.sum(col.x) + jnp.sum(col.y) + jnp.sum(col.z)
@@ -195,7 +196,7 @@ def main():
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "metrics", "profile_frame.json",
+        "metrics", "profile_frame_dual.json",
     )
     with open(out, "w") as f:
         json.dump(report, f, indent=2)

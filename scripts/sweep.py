@@ -32,13 +32,21 @@ def main() -> int:
     ap.add_argument("--variants", default="pallas,jax")
     ap.add_argument("--tiles", default=",".join(TILES))
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--single-pop", action="store_true",
+                    help="sweep the single-pop schedule instead of dual")
+    ap.add_argument("--bvh-width", type=int, default=4)
     ap.add_argument("--out", default="metrics")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     failures = 0
     for variant in args.variants.split(","):
-        outdir = os.path.join(args.out, variant + ("_bf16" if args.bf16 else ""))
+        suffix = (
+            ("_bf16" if args.bf16 else "")
+            + ("_single" if args.single_pop else "")
+            + (f"_w{args.bvh_width}" if args.bvh_width != 4 else "")
+        )
+        outdir = os.path.join(args.out, variant + suffix)
         os.makedirs(outdir, exist_ok=True)
         for tile in args.tiles.split(","):
             dst = os.path.join(outdir, f"data_{tile}.json")
@@ -56,6 +64,10 @@ def main() -> int:
             ]
             if args.bf16:
                 cmd.append("--bf16-bvh")
+            if args.single_pop:
+                cmd.append("--no-dual-pop")
+            if args.bvh_width != 4:
+                cmd.extend(["--bvh-width", str(args.bvh_width)])
             print(f"[sweep] {variant} tile={tile} -> {dst}", flush=True)
             r = subprocess.run(cmd, cwd=repo)
             if r.returncode != 0:
