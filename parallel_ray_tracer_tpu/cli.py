@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", default="auto", choices=("auto", "on", "off"),
                    help="HBM-stream triangle/attr rows (auto: by VMEM "
                         "budget; large scenes only)")
+    p.add_argument("--presplit", type=float, default=0.0, metavar="RATIO",
+                   help="pre-split oversized triangles before the BVH "
+                        "build until every AABB diagonal <= RATIO * scene "
+                        "diagonal (0 = off, reference build parity; try "
+                        "0.0625)")
     p.add_argument("--true-sah", action="store_true",
                    help="score heuristic-6 splits by true surface area "
                         "instead of the reference's squared diagonal "
@@ -139,6 +144,7 @@ def config_from_args(args) -> RenderConfig:
         num_devices=args.devices,
         use_native=not args.no_native,
         dual_pop=not args.no_dual_pop,
+        presplit=args.presplit,
         stream=args.stream,
         true_sah=args.true_sah,
     )

@@ -130,6 +130,15 @@ class RenderConfig:
     # that fits the 128-lane row (8).
     leaf_size: Optional[int] = None
 
+    # Pre-split oversized triangles before the BVH build (models/
+    # presplit.py): 0 = off (strict reference build parity, and required
+    # by the differentiable-training path, which owns the authored vertex
+    # parameters); > 0 = split until every triangle AABB diagonal is at
+    # most this fraction of the scene diagonal. Scene-sized wall/floor
+    # triangles otherwise overlap every subtree and divergent packets pay
+    # for it (measured on car_boxed; see BENCHMARKS.md).
+    presplit: float = 0.0
+
     # HBM streaming of triangle/attribute rows ("auto" | "on" | "off"):
     # scenes whose leaf rows exceed the VMEM budget keep them in HBM and
     # the kernels fetch per leaf visit with lookahead prefetch. "auto"

@@ -388,31 +388,39 @@ def _extract3(row, base: int):
     return row[0, base], row[0, base + 1], row[0, base + 2]
 
 
-def _slab_masked(lo, hi, o, inv, t_cut):
+def _slab_masked(lo, hi, oi, inv, t_cut):
     """Per-lane pruned slab entry distance against a scalar AABB: tmin where
-    the box can still improve the lane, T_MAX elsewhere. (8, 128) lanes."""
-    tx1 = (lo[0] - o.x) * inv.x
-    tx2 = (hi[0] - o.x) * inv.x
+    the box can still improve the lane, T_MAX elsewhere. (8, 128) lanes.
+
+    `oi` is the loop-invariant o*inv product hoisted by _load_rays: each
+    plane distance becomes a single fused multiply-subtract (scalar box
+    coordinate x vector inv, minus oi) instead of the unfusable
+    (lo - o) * inv form — the slab test is the dominant vector work of an
+    inner visit, so the fusion matters. Dead lanes (o = 1e30, inv clipped
+    to +/-1e30) give oi = +/-inf and lo*inv finite, so every distance is
+    +/-inf and `ok` stays false — no NaNs (inf - inf never occurs)."""
+    tx1 = lo[0] * inv.x - oi.x
+    tx2 = hi[0] * inv.x - oi.x
     tmin = jnp.minimum(tx1, tx2)
     tmax = jnp.maximum(tx1, tx2)
-    ty1 = (lo[1] - o.y) * inv.y
-    ty2 = (hi[1] - o.y) * inv.y
+    ty1 = lo[1] * inv.y - oi.y
+    ty2 = hi[1] * inv.y - oi.y
     tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
     tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
-    tz1 = (lo[2] - o.z) * inv.z
-    tz2 = (hi[2] - o.z) * inv.z
+    tz1 = lo[2] * inv.z - oi.z
+    tz2 = hi[2] * inv.z - oi.z
     tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
     tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
     ok = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_cut)
     return jnp.where(ok, tmin, T_MAX)
 
 
-def _slab(lo, hi, o, inv, t_cut):
+def _slab(lo, hi, oi, inv, t_cut):
     """Packet's pruned minimum entry distance (scalar) to a scalar AABB."""
-    return jnp.min(_slab_masked(lo, hi, o, inv, t_cut))
+    return jnp.min(_slab_masked(lo, hi, oi, inv, t_cut))
 
 
-def _slab_pair(crow, o, inv, t_cut):
+def _slab_pair(crow, oi, inv, t_cut):
     """Both children's pruned minimum entry distances with ONE cross-lane
     reduction.
 
@@ -422,8 +430,8 @@ def _slab_pair(crow, o, inv, t_cut):
     sublanes shares the expensive lane-direction reduction, leaving only two
     tiny sublane reductions.
     """
-    vl = _slab_masked(_extract3(crow, 0), _extract3(crow, 3), o, inv, t_cut)
-    vr = _slab_masked(_extract3(crow, 6), _extract3(crow, 9), o, inv, t_cut)
+    vl = _slab_masked(_extract3(crow, 0), _extract3(crow, 3), oi, inv, t_cut)
+    vr = _slab_masked(_extract3(crow, 6), _extract3(crow, 9), oi, inv, t_cut)
     both = jnp.concatenate([vl, vr], axis=0)       # (16, 128)
     red = jnp.min(both, axis=1)                    # (16,) lane reduce, shared
     ml = jnp.min(red[:SUBLANES])
@@ -474,12 +482,13 @@ def _load_rays(ox, oy, oz, dx, dy, dz):
         jnp.clip(1.0 / d.y, -lim, lim),
         jnp.clip(1.0 / d.z, -lim, lim),
     )
-    return o, d, inv
+    oi = Vec3(o.x * inv.x, o.y * inv.y, o.z * inv.z)
+    return o, d, inv, oi
 
 
 def _closest_kernel(L: int):
     def kernel(ox, oy, oz, dx, dy, dz, cbox, cmeta, tri, t_out, idx_out, nd_out, stack):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
 
         stack[0] = jnp.int32(0)  # root inner node
 
@@ -510,7 +519,7 @@ def _closest_kernel(L: int):
                 mrow = cmeta[pl.ds(e, 1), :]
                 enc_l = mrow[0, 0]
                 enc_r = mrow[0, 1]
-                ml, mr = _slab_pair(crow, o, inv, t)
+                ml, mr = _slab_pair(crow, oi, inv, t)
                 left_near = ml <= mr
                 near_e = jnp.where(left_near, enc_l, enc_r)
                 far_e = jnp.where(left_near, enc_r, enc_l)
@@ -545,7 +554,7 @@ def _closest_kernel(L: int):
 
 def _occluded_kernel(L: int):
     def kernel(ox, oy, oz, dx, dy, dz, m2, cbox, cmeta, tri, out, stack):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
         t_limit = jnp.sqrt(max_dist2)  # d is unit for shadow rays
 
@@ -576,7 +585,7 @@ def _occluded_kernel(L: int):
                 crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
                 mrow = cmeta[pl.ds(e, 1), :]
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                ml, mr = _slab_pair(crow, o, inv, t_cut)
+                ml, mr = _slab_pair(crow, oi, inv, t_cut)
                 # Near-first ordering: the reference pushes unordered
                 # (cpu/src/bvh.c:298-313), but popping probable blockers
                 # first lets lanes block sooner, collapsing their t_cut and
@@ -634,12 +643,12 @@ def _child_extract(mn_row, mx_row, k: int, compressed: bool):
     return _extract3(mn_row, 6 * k), _extract3(mx_row, 6 * k + 3)
 
 
-def _slab_multi(mn_row, mx_row, o, inv, t_cut, n: int, compressed: bool = False):
+def _slab_multi(mn_row, mx_row, oi, inv, t_cut, n: int, compressed: bool = False):
     """n children's pruned min entry distances with ONE cross-lane reduction."""
     vs = []
     for k in range(n):
         lo, hi = _child_extract(mn_row, mx_row, k, compressed)
-        vs.append(_slab_masked(lo, hi, o, inv, t_cut))
+        vs.append(_slab_masked(lo, hi, oi, inv, t_cut))
     both = jnp.concatenate(vs, axis=0)
     red = jnp.min(both, axis=1)
     return tuple(
@@ -694,7 +703,7 @@ def _sort4(ms, es):
 
 def _closest4_kernel(L: int, arity: int = 4, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, t_out, idx_out, nd_out, stack):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         stack[0] = jnp.int32(0)
 
         def leaf(g, t, idx, nd):
@@ -722,7 +731,7 @@ def _closest4_kernel(L: int, arity: int = 4, compressed: bool = False):
                 mn_row, mx_row = _load_node_row(qbox, e, compressed)
                 mrow = qmeta[pl.ds(e, 1), :]
                 ms = list(
-                    _slab_multi(mn_row, mx_row, o, inv, t, arity, compressed)
+                    _slab_multi(mn_row, mx_row, oi, inv, t, arity, compressed)
                 )
                 # Absent children sort last and never push (validity flags).
                 ms = [
@@ -755,7 +764,7 @@ def _closest4_kernel(L: int, arity: int = 4, compressed: bool = False):
 
 def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out, stack):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
         t_limit = jnp.sqrt(max_dist2)
         stack[0] = jnp.int32(0)
@@ -783,7 +792,7 @@ def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 ms = list(
                     _slab_multi(
-                        mn_row, mx_row, o, inv, t_cut, arity, compressed
+                        mn_row, mx_row, oi, inv, t_cut, arity, compressed
                     )
                 )
                 # Near-first (see the binary kernel's note): sort so probable
@@ -832,7 +841,7 @@ def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
 # improves pruning for the inner visits that follow.
 
 
-def _dual_inner_visit(qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                       arity: int, compressed: bool = False):
     """Visit the top one-or-two inner nodes; push their children.
 
@@ -852,7 +861,7 @@ def _dual_inner_visit(qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
     for mn, mx in ((mn1, mx1), (mn2, mx2)):
         for k in range(arity):
             lo, hi = _child_extract(mn, mx, k, compressed)
-            vs.append(_slab_masked(lo, hi, o, inv, t_cut))
+            vs.append(_slab_masked(lo, hi, oi, inv, t_cut))
     both = jnp.concatenate(vs, axis=0)          # (2*arity*8, 128)
     red = jnp.min(both, axis=1)                 # ONE shared lane reduction
     ms = [
@@ -898,7 +907,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
             outs = refs[9:12]
             istack, lstack = refs[12:]
         t_out, idx_out, nd_out = outs[:3]
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         istack[0] = jnp.int32(0)
 
         def leaf(g, t, idx, nd, av):
@@ -931,7 +940,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
             def do_inner(args):
                 isp, lsp, t, idx, nd, av = args
                 isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, o, inv, t, istack, lstack, isp, lsp, arity,
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
                     compressed,
                 )
                 return isp, lsp, t, idx, nd, av
@@ -962,7 +971,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
                istack, lstack):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
         t_limit = jnp.sqrt(max_dist2)
         istack[0] = jnp.int32(0)
@@ -986,7 +995,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False):
                 isp, lsp, blocked, all_blocked = args
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                     arity, compressed,
                 )
                 return isp, lsp, blocked, all_blocked
@@ -1172,7 +1181,7 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
             attr = None
             attr_ring = None
         t_out, idx_out, nd_out = outs[:3]
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         istack[0] = jnp.int32(0)
 
         def body(state):
@@ -1204,7 +1213,7 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
             def do_inner(args):
                 isp, lsp, inflight, slot, t, idx, nd, av = args
                 isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, o, inv, t, istack, lstack, isp, lsp, arity,
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
                     compressed,
                 )
                 return isp, lsp, inflight, slot, t, idx, nd, av
@@ -1244,7 +1253,7 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False):
 
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
                istack, lstack, tri_ring, sems):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
         t_limit = jnp.sqrt(max_dist2)
         istack[0] = jnp.int32(0)
@@ -1271,7 +1280,7 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False):
                 isp, lsp, inflight, slot, blocked, all_blocked = args
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, o, inv, t_cut, istack, lstack, isp, lsp,
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                     arity, compressed,
                 )
                 return isp, lsp, inflight, slot, blocked, all_blocked
@@ -1347,7 +1356,7 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
                t_out, idx_out, nd_out, *rest):
         outs = rest[:12]
         stack = rest[12]
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         stack[0] = jnp.int32(0)
 
         def leaf(g, t, idx, nd, av):
@@ -1376,7 +1385,7 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
                     mn_row, mx_row = _load_node_row(cbox, e, compressed)
                     ms = list(
                         _slab_multi(
-                            mn_row, mx_row, o, inv, t, arity, compressed
+                            mn_row, mx_row, oi, inv, t, arity, compressed
                         )
                     )
                     ms = [
@@ -1390,7 +1399,7 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
                         sp = sp + (ms[k] < T_MAX).astype(jnp.int32)
                 else:
                     crow = cbox[pl.ds(e, 1), :].astype(jnp.float32)
-                    ml, mr = _slab_pair(crow, o, inv, t)
+                    ml, mr = _slab_pair(crow, oi, inv, t)
                     left_near = ml <= mr
                     near_e = jnp.where(left_near, mrow[0, 0], mrow[0, 1])
                     far_e = jnp.where(left_near, mrow[0, 1], mrow[0, 0])

@@ -194,6 +194,11 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 if scene is None:
                     raise
 
+    if cfg.presplit > 0 and scene.num_triangles > 0:
+        from .models.presplit import presplit_scene
+
+        scene, _ = presplit_scene(scene, ratio=cfg.presplit)
+
     tv = scene.triangle_vertices()
     # The traversal kernels want leaves that actually hold `leaf_size`
     # triangles; the reference's BVH_ELEMENT_THRESHOLD (options.h:58) plays

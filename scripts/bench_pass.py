@@ -141,6 +141,8 @@ def main():
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--leaf-threshold", type=int, default=8)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--presplit", type=float, default=0.0,
+                    help="pre-split ratio (e.g. 0.0625 = 1/16)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -149,6 +151,7 @@ def main():
         tile_rows=32, tile_cols=32, bvh_width=args.width,
         true_sah=args.true_sah, leaf_size=args.leaf_size,
         bf16_bvh=args.bf16, leaf_threshold=args.leaf_threshold,
+        presplit=args.presplit,
     )
     pipe = pipeline.prepare(cfg)
     packed = pipe.packed_dev
@@ -162,6 +165,7 @@ def main():
 
     results = {
         "bvh_width": args.width, "dual": bool(args.dual),
+        "presplit": args.presplit,
         "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
         "bf16": bool(args.bf16), "leaf_threshold": args.leaf_threshold,
     }
@@ -213,6 +217,7 @@ def main():
         + ("_tsah" if args.true_sah else "")
         + (f"_L{pipe.leaf_size}" if args.leaf_size else "")
         + ("_bf16" if args.bf16 else "")
+        + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
         + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
     )
     out = os.path.join(
