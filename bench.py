@@ -13,7 +13,7 @@ overlapped, or eliminated) and take the marginal cost
 (T(k_hi) - T(k_lo)) / (k_hi - k_lo), which cancels the per-dispatch
 overhead — the reference's warmup + cudaEvent protocol
 (gpu/src/gpu.cu:104-116) adapted to a remote-dispatch environment. A local
-persistent compilation cache (checked into .jax_cache by a warmup run)
+persistent compilation cache (persisted in .jax_cache by warmup runs)
 keeps the chained programs' XLA compiles out of the timed budget.
 
 `vs_baseline`: ratio against the first honest TPU v5e number recorded for

@@ -893,6 +893,110 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     return isp, lsp
 
 
+def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
+                      L: int, arity: int, n_attr: int, compressed: bool):
+    """Full dual-pop closest-hit traversal; returns (t, idx, nd, av).
+
+    Shared between the standalone closest kernels and the fused frame
+    kernel (which runs it once per bounce, reusing the same stacks)."""
+    istack[0] = jnp.int32(0)
+
+    def leaf(g, t, idx, nd, av):
+        tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+        if n_attr:
+            arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
+            for j in range(L):
+                t, idx, nd, av = _attr_leaf_update(
+                    o, d, tri_row, arow, g, j, L, t, idx, nd, av
+                )
+        else:
+            for j in range(L):
+                tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
+                better = tj < t
+                t = jnp.where(better, tj, t)
+                idx = jnp.where(better, g * L + j, idx)
+                nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+        return t, idx, nd, av
+
+    def body(state):
+        isp, lsp, t, idx, nd, av = state
+
+        def do_leaf(args):
+            isp, lsp, t, idx, nd, av = args
+            lsp = lsp - 1
+            g = -lstack[lsp] - 1
+            t, idx, nd, av = leaf(g, t, idx, nd, av)
+            return isp, lsp, t, idx, nd, av
+
+        def do_inner(args):
+            isp, lsp, t, idx, nd, av = args
+            isp, lsp = _dual_inner_visit(
+                qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
+                compressed,
+            )
+            return isp, lsp, t, idx, nd, av
+
+        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+
+    zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    init = (
+        jnp.int32(1),
+        jnp.int32(0),
+        jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
+        jnp.full((SUBLANES, LANES), -1, jnp.int32),
+        jnp.zeros((SUBLANES, LANES), jnp.int32),
+        tuple(zero for _ in range(n_attr)),
+    )
+    _, _, t, idx, nd, av = jax.lax.while_loop(
+        lambda s: (s[0] > 0) | (s[1] > 0), body, init
+    )
+    return t, idx, nd, av
+
+
+def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
+                       istack, lstack, L: int, arity: int, compressed: bool):
+    """Full dual-pop any-hit traversal; returns blocked (i32 lanes)."""
+    t_limit = jnp.sqrt(max_dist2)
+    istack[0] = jnp.int32(0)
+
+    def body(state):
+        isp, lsp, blocked, all_blocked = state
+
+        def do_leaf(args):
+            isp, lsp, blocked, all_blocked = args
+            lsp = lsp - 1
+            g = -lstack[lsp] - 1
+            row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+            for j in range(L):
+                tj, _ = _mt_scalar_tri(o, d, row, j)
+                hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+            all_blocked = jnp.min(blocked)
+            return isp, lsp, blocked, all_blocked
+
+        def do_inner(args):
+            isp, lsp, blocked, all_blocked = args
+            t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+            isp, lsp = _dual_inner_visit(
+                qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                arity, compressed,
+            )
+            return isp, lsp, blocked, all_blocked
+
+        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+
+    init = (
+        jnp.int32(1),
+        jnp.int32(0),
+        jnp.zeros((SUBLANES, LANES), jnp.int32),
+        jnp.int32(0),
+    )
+    _, _, blocked, _ = jax.lax.while_loop(
+        lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
+    )
+    return blocked
+
+
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False):
     """Dual-pop closest hit; with n_attr=12 also tracks surface attributes."""
@@ -904,60 +1008,14 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
             istack, lstack = refs[13 + n_attr:]
         else:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
+            attr = None
             outs = refs[9:12]
             istack, lstack = refs[12:]
         t_out, idx_out, nd_out = outs[:3]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
-        istack[0] = jnp.int32(0)
-
-        def leaf(g, t, idx, nd, av):
-            tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
-            if n_attr:
-                arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
-                for j in range(L):
-                    t, idx, nd, av = _attr_leaf_update(
-                        o, d, tri_row, arow, g, j, L, t, idx, nd, av
-                    )
-            else:
-                for j in range(L):
-                    tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
-                    better = tj < t
-                    t = jnp.where(better, tj, t)
-                    idx = jnp.where(better, g * L + j, idx)
-                    nd = jnp.where(better, ndj.astype(jnp.int32), nd)
-            return t, idx, nd, av
-
-        def body(state):
-            isp, lsp, t, idx, nd, av = state
-
-            def do_leaf(args):
-                isp, lsp, t, idx, nd, av = args
-                lsp = lsp - 1
-                g = -lstack[lsp] - 1
-                t, idx, nd, av = leaf(g, t, idx, nd, av)
-                return isp, lsp, t, idx, nd, av
-
-            def do_inner(args):
-                isp, lsp, t, idx, nd, av = args
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
-                    compressed,
-                )
-                return isp, lsp, t, idx, nd, av
-
-            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
-
-        zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-        init = (
-            jnp.int32(1),
-            jnp.int32(0),
-            jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
-            jnp.full((SUBLANES, LANES), -1, jnp.int32),
-            jnp.zeros((SUBLANES, LANES), jnp.int32),
-            tuple(zero for _ in range(n_attr)),
-        )
-        _, _, t, idx, nd, av = jax.lax.while_loop(
-            lambda s: (s[0] > 0) | (s[1] > 0), body, init
+        t, idx, nd, av = _run_closest_dual(
+            qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
+            L, arity, n_attr, compressed,
         )
         t_out[:, :] = t
         idx_out[:, :] = idx
@@ -972,46 +1030,10 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
                istack, lstack):
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
-        max_dist2 = m2[:, :]
-        t_limit = jnp.sqrt(max_dist2)
-        istack[0] = jnp.int32(0)
-
-        def body(state):
-            isp, lsp, blocked, all_blocked = state
-
-            def do_leaf(args):
-                isp, lsp, blocked, all_blocked = args
-                lsp = lsp - 1
-                g = -lstack[lsp] - 1
-                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
-                for j in range(L):
-                    tj, _ = _mt_scalar_tri(o, d, row, j)
-                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
-                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
-                all_blocked = jnp.min(blocked)
-                return isp, lsp, blocked, all_blocked
-
-            def do_inner(args):
-                isp, lsp, blocked, all_blocked = args
-                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    arity, compressed,
-                )
-                return isp, lsp, blocked, all_blocked
-
-            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
-
-        init = (
-            jnp.int32(1),
-            jnp.int32(0),
-            jnp.zeros((SUBLANES, LANES), jnp.int32),
-            jnp.int32(0),
+        out[:, :] = _run_occluded_dual(
+            qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
+            L, arity, compressed,
         )
-        _, _, blocked, _ = jax.lax.while_loop(
-            lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
-        )
-        out[:, :] = blocked
 
     return kernel
 
@@ -1427,6 +1449,221 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
             ref[:, :] = val
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-frame kernel (closest + shade + shadow + bounce, one launch)
+# ---------------------------------------------------------------------------
+#
+# The pass-based frame runs 2 traversal kernels per bounce with XLA glue
+# (shading math, reflection updates, ray-plane round-trips through HBM)
+# between them, and every pass is a global barrier across all packets. The
+# fused kernel runs the ENTIRE reference bounce loop
+# (gpu/src/raytracer.cu:61-116) per packet in one launch: ray state lives
+# in vector registers, the shading/reflection glue becomes in-kernel
+# vector ops, and packets proceed through their bounces independently (no
+# inter-pass barriers). Semantics are identical to ops/shade.trace_rays;
+# tests/test_fused.py pins the interpret-mode image to the pass-based one.
+# Scenes with spheres fall back to the pass-based path (the sphere
+# post-pass, ops/spheres.py, is XLA-side).
+
+
+def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
+                        compressed: bool = False):
+    EPS2 = float(EPSILON) * float(EPSILON)
+
+    def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
+               r_out, g_out, b_out, istack, lstack):
+        shape = (SUBLANES, LANES)
+        fone = jnp.ones(shape, jnp.float32)
+        fzero = jnp.zeros(shape, jnp.float32)
+        far = jnp.full(shape, 1e30, jnp.float32)
+        lim = jnp.float32(INV_DIR_MAX)
+
+        amb_row = lamb[pl.ds(num_lights, 1), :]
+        amb = (amb_row[0, 0], amb_row[0, 1], amb_row[0, 2])
+
+        def rsq(v):
+            return jax.lax.rsqrt(jnp.maximum(v, 1e-30))
+
+        state0 = (
+            ox[:, :], oy[:, :], oz[:, :], dx[:, :], dy[:, :], dz[:, :],
+            fone, fone, fone,            # multiplier
+            fzero, fzero, fzero,         # final color
+            jnp.ones(shape, jnp.int32),  # alive
+        )
+
+        def bounce(_, st):
+            (pox, poy, poz, pdx, pdy, pdz,
+             mx, my, mz, fx, fy, fz, alive_i) = st
+            live = alive_i > 0
+            # mask_dead_rays semantics: dead lanes stop steering the packet
+            o = Vec3(jnp.where(live, pox, far), jnp.where(live, poy, far),
+                     jnp.where(live, poz, far))
+            d = Vec3(jnp.where(live, pdx, fzero), jnp.where(live, pdy, fzero),
+                     jnp.where(live, pdz, fzero))
+            inv = Vec3(jnp.clip(1.0 / d.x, -lim, lim),
+                       jnp.clip(1.0 / d.y, -lim, lim),
+                       jnp.clip(1.0 / d.z, -lim, lim))
+            oi = Vec3(o.x * inv.x, o.y * inv.y, o.z * inv.z)
+
+            t, _, nd, av = _run_closest_dual(
+                qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
+                L, arity, 12, compressed,
+            )
+            is_hit = t < jnp.float32(T_MAX)
+            # miss: final += multiplier * ambient, lane dies
+            mw = (live & jnp.logical_not(is_hit)).astype(jnp.float32)
+            fx = fx + mx * amb[0] * mw
+            fy = fy + my * amb[1] * mw
+            fz = fz + mz * amb[2] * mw
+            live = live & is_hit
+
+            # surface attributes (kernel-resolved, HitFull layout)
+            ninv = rsq(av[0] * av[0] + av[1] * av[1] + av[2] * av[2])
+            sgn = jnp.where(nd > 0, -1.0, 1.0) * ninv   # flipped unit normal
+            nx, ny, nz = av[0] * sgn, av[1] * sgn, av[2] * sgn
+            kd = (av[3], av[4], av[5])
+            ks = (av[6], av[7], av[8])
+            kr = (av[9], av[10], av[11])
+
+            t_safe = jnp.where(is_hit, t, fone)
+            px = pox + pdx * t_safe
+            py = poy + pdy * t_safe
+            pz = poz + pdz * t_safe
+
+            cx = kd[0] * amb[0]
+            cy = kd[1] * amb[1]
+            cz = kd[2] * amb[2]
+
+            for i in range(num_lights):
+                lrow = lamb[pl.ds(i, 1), :]
+                lp = (lrow[0, 0], lrow[0, 1], lrow[0, 2])
+                kl = (lrow[0, 3], lrow[0, 4], lrow[0, 5])
+                lvx, lvy, lvz = lp[0] - px, lp[1] - py, lp[2] - pz
+                mag2 = lvx * lvx + lvy * lvy + lvz * lvz
+                imag = rsq(mag2)
+                lx, ly, lz = lvx * imag, lvy * imag, lvz * imag
+                ndl = nx * lx + ny * ly + nz * lz
+                # half vector with the reference's UNNORMALIZED view -d
+                hx, hy, hz = lx - pdx, ly - pdy, lz - pdz
+                ih = rsq(hx * hx + hy * hy + hz * hz)
+                coeff = jnp.maximum(
+                    0.0, (nx * hx + ny * hy + nz * hz) * ih
+                )
+                dterm = jnp.maximum(0.0, ndl)
+                backface = (lvx * nx + lvy * ny + lvz * nz) < 0.0
+                need = live & jnp.logical_not(backface)
+
+                so = Vec3(jnp.where(need, px, far),
+                          jnp.where(need, py, far),
+                          jnp.where(need, pz, far))
+                sd = Vec3(jnp.where(need, lx, fzero),
+                          jnp.where(need, ly, fzero),
+                          jnp.where(need, lz, fzero))
+                sinv = Vec3(jnp.clip(1.0 / sd.x, -lim, lim),
+                            jnp.clip(1.0 / sd.y, -lim, lim),
+                            jnp.clip(1.0 / sd.z, -lim, lim))
+                soi = Vec3(so.x * sinv.x, so.y * sinv.y, so.z * sinv.z)
+                blocked = _run_occluded_dual(
+                    qbox, qmeta, tri, so, sd, sinv, soi, mag2,
+                    istack, lstack, L, arity, compressed,
+                )
+                vis = (
+                    jnp.logical_not(backface).astype(jnp.float32)
+                    * (1.0 - blocked.astype(jnp.float32))
+                )
+                w = vis / jnp.maximum(mag2, 1e-30)
+                cx = cx + kl[0] * (kd[0] * dterm + ks[0] * coeff) * w
+                cy = cy + kl[1] * (kd[1] * dterm + ks[1] * coeff) * w
+                cz = cz + kl[2] * (kd[2] * dterm + ks[2] * coeff) * w
+
+            lw = live.astype(jnp.float32)
+            fx = fx + mx * cx * lw
+            fy = fy + my * cy * lw
+            fz = fz + mz * cz * lw
+
+            # early-exit check BEFORE the kr update (raytracer.cu:103-106)
+            live = live & (mx * mx + my * my + mz * mz >= EPS2)
+            mx, my, mz = mx * kr[0], my * kr[1], mz * kr[2]
+
+            # reflection ray
+            adn = 2.0 * jnp.abs(pdx * nx + pdy * ny + pdz * nz)
+            rx, ry, rz = pdx + nx * adn, pdy + ny * adn, pdz + nz * adn
+            ir = rsq(rx * rx + ry * ry + rz * rz)
+            return (px, py, pz, rx * ir, ry * ir, rz * ir,
+                    mx, my, mz, fx, fy, fz, live.astype(jnp.int32))
+
+        st = jax.lax.fori_loop(0, bounces, bounce, state0)
+        r_out[:, :] = st[9]
+        g_out[:, :] = st[10]
+        b_out[:, :] = st[11]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
+    ),
+)
+def frame_tiles(
+    cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
+    leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
+    compressed: bool = False,
+) -> Vec3:
+    """Fused whole-frame render over tiled rays -> unclamped color planes.
+
+    `lamb` is a (num_lights + 1, 8) f32 table: rows 0..L-1 hold
+    (light_pos.xyz, light_kl.rgb, 0, 0); the last row holds the ambient
+    color. Matches ops/shade.trace_rays exactly (same masks, same
+    reference quirks)."""
+    rows = o.x.shape[0]
+    assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
+    ntiles = rows // SUBLANES
+    arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
+    assert arity >= 4, "fused frame kernel needs bvh_width >= 4"
+    num_lights = int(lamb.shape[0]) - 1
+    kernel = _frame_fused_kernel(
+        leaf_size, arity, bounces, num_lights, compressed
+    )
+    block = pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+        in_specs=_ray_specs(6) + _scene_specs(False) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights + ambient
+        ],
+        out_specs=[block] * 3,
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, lamb)
+    return Vec3(r, g, b)
+
+
+def pack_lights(ds) -> "jnp.ndarray":
+    """(num_lights + 1, 8) f32 light/ambient table for frame_tiles."""
+    L = ds.num_lights
+    out = jnp.zeros((L + 1, 8), jnp.float32)
+    if L:
+        out = out.at[:L, 0].set(ds.lights_pos.x)
+        out = out.at[:L, 1].set(ds.lights_pos.y)
+        out = out.at[:L, 2].set(ds.lights_pos.z)
+        out = out.at[:L, 3].set(ds.lights_kl.x)
+        out = out.at[:L, 4].set(ds.lights_kl.y)
+        out = out.at[:L, 5].set(ds.lights_kl.z)
+    out = out.at[L, 0].set(ds.ambient.x)
+    out = out.at[L, 1].set(ds.ambient.y)
+    out = out.at[L, 2].set(ds.ambient.z)
+    return out
 
 
 def _ray_specs(n: int):

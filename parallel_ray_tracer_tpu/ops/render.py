@@ -272,6 +272,72 @@ def _render_bvh_pallas(
     return tiles_to_image(flat, width, height, tile_rows, tile_cols)
 
 
+def _render_bvh_fused(
+    ds,
+    packed_dev,
+    cam_arrays,
+    width: int,
+    height: int,
+    bounces: int,
+    leaf_size: int,
+    tile_rows: int,
+    tile_cols: int,
+    interpret: bool,
+    stack_depth: int = 96,
+    y_offset=0,
+    compressed: bool = False,
+):
+    from . import pallas_trace
+
+    o, d = generate_rays_tiled(
+        cam_arrays, width, height, tile_rows, tile_cols, y_offset
+    )
+    rows = o.x.shape[0] // pallas_trace.LANES
+    o2 = o.reshape(rows, pallas_trace.LANES)
+    d2 = d.reshape(rows, pallas_trace.LANES)
+    lamb = pallas_trace.pack_lights(ds)
+    col = pallas_trace.frame_tiles(
+        *packed_dev, lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
+        interpret=interpret, stack_depth=stack_depth, compressed=compressed,
+    )
+    col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
+    flat = jnp.stack([col.x, col.y, col.z], axis=-1)
+    return tiles_to_image(flat, width, height, tile_rows, tile_cols)
+
+
+def render_bvh_fused(
+    ds,
+    packed_dev,
+    cam: Camera,
+    width: int,
+    height: int,
+    bounces: int = 4,
+    leaf_size: int = 8,
+    tile_rows: int = 32,
+    tile_cols: int = 32,
+    interpret: bool = False,
+    stack_depth: int = 96,
+    compressed: bool = False,
+):
+    """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
+    entire bounce loop in ONE kernel launch per packet — no inter-pass
+    barriers or XLA glue. Requires a sphere-free scene and bvh_width >= 4;
+    image matches render_bvh_pallas (tests/test_fused.py)."""
+    from .pallas_trace import PACKET
+
+    assert tile_rows * tile_cols == PACKET, (tile_rows, tile_cols)
+    assert int(ds.sph_r.shape[0]) == 0, \
+        "fused path requires a sphere-free scene"
+    cam_arrays = tuple(
+        jnp.asarray(a) for a in ray_basis(cam, width, height)
+    )
+    return _render_bvh_fused(
+        ds, packed_dev, cam_arrays, width, height, bounces, leaf_size,
+        tile_rows, tile_cols, interpret, stack_depth,
+        compressed=compressed,
+    )
+
+
 def render_bvh_pallas(
     ds,
     packed_dev,

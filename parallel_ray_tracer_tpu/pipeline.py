@@ -91,6 +91,15 @@ class Pipeline:
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 fast_light=cfg.fast_light,
             )
+        if variant == "fused":
+            assert self.packed_dev is not None and len(self.packed_dev) == 4
+            return render_ops.render_bvh_fused(
+                self.ds, self.packed_dev, cam, width, height,
+                bounces=cfg.bounces, leaf_size=self.leaf_size,
+                tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
+                interpret=interpret, stack_depth=self.pallas_stack_depth,
+                compressed=self.compressed,
+            )
         if variant == "pallas":
             assert self.packed_dev is not None
             return render_ops.render_bvh_pallas(

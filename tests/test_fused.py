@@ -1,0 +1,84 @@
+"""Fused whole-frame kernel (pallas_trace.frame_tiles) vs the pass-based
+pallas path: same image, interpret mode on CPU.
+
+The fused kernel reassociates a handful of shading ops (rsqrt vs
+sqrt+divide), so equality is tolerance-based with an allowance for
+isolated shadow-silhouette pixels where a one-ULP direction difference
+can flip a binary occlusion result.
+"""
+
+import numpy as np
+import pytest
+
+from parallel_ray_tracer_tpu import pipeline
+from parallel_ray_tracer_tpu.config import RenderConfig
+from parallel_ray_tracer_tpu.models.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def tiny_scene() -> Scene:
+    rng = np.random.RandomState(7)
+    # floor quad + a cloud of small blockers above it
+    verts = [
+        [-6, 0, -6], [6, 0, -6], [6, 0, 6], [-6, 0, 6],
+    ]
+    faces = [[0, 1, 2], [0, 2, 3]]
+    mat_idx = [0, 0]
+    for k in range(30):
+        c = rng.uniform(-3, 3, 3).astype(np.float32)
+        c[1] = rng.uniform(0.5, 3.0)
+        base = len(verts)
+        for off in rng.normal(0, 0.35, (3, 3)):
+            verts.append((c + off).tolist())
+        faces.append([base, base + 1, base + 2])
+        mat_idx.append(1 + (k % 2))
+    return Scene(
+        verts=np.asarray(verts, np.float32),
+        faces=np.asarray(faces, np.int32),
+        mat_idx=np.asarray(mat_idx, np.int32),
+        mats_kd=np.asarray(
+            [[0.6, 0.6, 0.6], [0.8, 0.2, 0.2], [0.2, 0.3, 0.8]], np.float32
+        ),
+        mats_ks=np.asarray(
+            [[0.1, 0.1, 0.1], [0.3, 0.3, 0.3], [0.0, 0.0, 0.0]], np.float32
+        ),
+        mats_kr=np.asarray(
+            [[0.3, 0.3, 0.3], [0.0, 0.0, 0.0], [0.5, 0.5, 0.5]], np.float32
+        ),
+        lights_pos=np.asarray([[4, 6, 2], [-5, 4, -3]], np.float32),
+        lights_kl=np.asarray([[30, 28, 25], [10, 12, 16]], np.float32),
+    )
+
+
+@pytest.mark.parametrize("bounces", [1, 3])
+def test_fused_matches_pass_based(tiny_scene, bounces):
+    cfg = RenderConfig(
+        width=32, height=32, bounces=bounces, bvh_heuristic=6,
+        tile_rows=8, tile_cols=128, cam_pos=(0.0, 4.0, -9.0),
+        cam_rot=(20.0, 0.0, 0.0), use_native=False,
+    )
+    pipe = pipeline.prepare(cfg, scene=tiny_scene)
+    img_pass = np.asarray(pipe.render(variant="pallas", interpret=True))
+    img_fused = np.asarray(pipe.render(variant="fused", interpret=True))
+    diff = np.abs(img_pass - img_fused)
+    # almost all pixels match tightly; allow <=1% silhouette flips
+    assert (diff.max(axis=-1) < 1e-3).mean() > 0.99, diff.max()
+    assert np.median(diff) < 1e-5
+
+
+def test_fused_rejects_spheres(tiny_scene):
+    import dataclasses
+
+    sc = dataclasses.replace(
+        tiny_scene,
+        spheres_center=np.asarray([[0.0, 1.0, 0.0]], np.float32),
+        spheres_radius=np.asarray([0.5], np.float32),
+        spheres_mat=np.asarray([1], np.int32),
+    )
+    cfg = RenderConfig(
+        width=32, height=32, bounces=1, bvh_heuristic=6,
+        tile_rows=8, tile_cols=128, use_native=False,
+    )
+    pipe = pipeline.prepare(cfg, scene=sc)
+    with pytest.raises(AssertionError):
+        pipe.render(variant="fused", interpret=True)
