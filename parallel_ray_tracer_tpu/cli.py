@@ -41,7 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--bounces", type=int, default=4)
     p.add_argument("--variant", default="pallas",
-                   choices=("pallas", "jax", "bruteforce"))
+                   choices=("pallas", "fused", "jax", "bruteforce"),
+                   help="pallas = pass-based production kernels; fused = "
+                        "whole-frame single-launch kernel (sphere-free "
+                        "scenes); jax = portable lax.while_loop packets; "
+                        "bruteforce = USE_BVH=0 oracle")
     p.add_argument("--no-bvh", action="store_true",
                    help="USE_BVH=0: brute-force all triangles")
     p.add_argument("--heuristic", type=int, default=6, choices=range(7),
@@ -235,11 +239,12 @@ def main(argv: Optional[list] = None) -> int:
 
         tracer_data = {
             "pallas": pipe.packed_dev,
+            "fused": pipe.packed_dev,
             "jax": pipe.dbvh,
             "bruteforce": pipe.ds,
         }[cfg.variant]
         depth = (
-            pipe.pallas_stack_depth if cfg.variant == "pallas"
+            pipe.pallas_stack_depth if cfg.variant in ("pallas", "fused")
             else pipe.stack_depth
         )
         return sharded.render_sharded(

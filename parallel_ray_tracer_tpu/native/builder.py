@@ -65,6 +65,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rt_bvh_build.argtypes = [
             f32p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
+            ctypes.c_int,
         ]
         for name in ("rt_bvh_n_flat_nodes", "rt_bvh_n_slots",
                      "rt_bvh_n_inner", "rt_bvh_n_groups"):
@@ -110,6 +111,7 @@ def build_bvh_native(
     sah_bins: int = 32,
     seed: int = 1,
     leaf_size: int = 8,
+    true_sah: bool = False,
 ):
     """Build + flatten + pack in C++. Returns (FlatBVH, PackedBVH, stats)
     with the same array semantics as the NumPy path, or None if the native
@@ -124,7 +126,8 @@ def build_bvh_native(
     tv = np.ascontiguousarray(tri_verts, np.float32).reshape(-1, 9)
     T = tv.shape[0]
     h = lib.rt_bvh_build(
-        tv, T, heuristic, max_depth, leaf_threshold, sah_bins, seed, leaf_size
+        tv, T, heuristic, max_depth, leaf_threshold, sah_bins, seed, leaf_size,
+        int(true_sah),
     )
     if not h:
         return None

@@ -75,14 +75,15 @@ struct Builder {
   const float *tv;  // (T, 9)
   int64_t T;
   int heuristic, max_depth, leaf_threshold, sah_bins;
+  bool true_sah;
   Rng rng;
   std::vector<Vec3> bb_min, bb_max, cent;
   BuildTree t;
 
   Builder(const float *tv_, int64_t T_, int h, int md, int lt, int sb,
-          uint64_t seed)
+          uint64_t seed, bool tsah = false)
       : tv(tv_), T(T_), heuristic(h), max_depth(md), leaf_threshold(lt),
-        sah_bins(sb), rng(seed) {}
+        sah_bins(sb), true_sah(tsah), rng(seed) {}
 
   void computeBounds() {
     bb_min.resize(T);
@@ -124,9 +125,11 @@ struct Builder {
     *hi = h;
   }
 
-  // Reference 'area' = squared diagonal (cpu/src/bvh.c:43-46).
-  static double area(const Vec3 &lo, const Vec3 &hi) {
+  // Reference 'area' = squared diagonal (cpu/src/bvh.c:43-46), or real
+  // surface area when true_sah (ops/bvh.py _area parity).
+  double area(const Vec3 &lo, const Vec3 &hi) const {
     double dx = hi.x - lo.x, dy = hi.y - lo.y, dz = hi.z - lo.z;
+    if (true_sah) return 2.0 * (dx * dy + dy * dz + dz * dx);
     return dx * dx + dy * dy + dz * dz;
   }
 
@@ -655,9 +658,10 @@ extern "C" {
 
 void *rt_bvh_build(const float *tv, long long T, int heuristic, int max_depth,
                    int leaf_threshold, int sah_bins, unsigned long long seed,
-                   int leaf_size) {
+                   int leaf_size, int true_sah) {
   auto *h = new Handle();
-  Builder b(tv, T, heuristic, max_depth, leaf_threshold, sah_bins, seed);
+  Builder b(tv, T, heuristic, max_depth, leaf_threshold, sah_bins, seed,
+            true_sah != 0);
   b.build();
   h->tree = std::move(b.t);
   Flattener fl(h->tree, b.bb_min, b.bb_max, leaf_size);

@@ -110,6 +110,21 @@ def _render_sharded(
         nt_local = o_sh.x.shape[0]
         of = o_sh.reshape(nt_local * K)
         df = d_sh.reshape(nt_local * K)
+        if variant == "fused":
+            # whole-frame kernel per device shard (sphere-free scenes)
+            lamb = pallas_trace.pack_lights(ds_r)
+            rows = of.x.shape[0] // pallas_trace.LANES
+            col = pallas_trace.frame_tiles(
+                *tracer_r, lamb,
+                of.reshape(rows, pallas_trace.LANES),
+                df.reshape(rows, pallas_trace.LANES),
+                bounces=bounces, leaf_size=leaf_size, interpret=interpret,
+                stack_depth=stack_depth, compressed=compressed,
+            ).reshape(nt_local * K)
+            col = col.clamp(0.0, 1.0)
+            return jnp.stack(
+                [col.x, col.y, col.z], axis=-1
+            ).reshape(nt_local, K, 3)
         if variant == "pallas":
             closest_fn, occluded_fn = pallas_trace.make_tracer(
                 tracer_r, leaf_size, interpret=interpret, ds=ds_r,

@@ -163,9 +163,7 @@ class Pipeline:
 def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     """Load assets, build + flatten + upload the BVH, stage the scene."""
     native = None
-    if cfg.use_native and not cfg.true_sah:
-        # true_sah exists only in the NumPy builder (the C++ one implements
-        # the reference's squared-diagonal formula for parity).
+    if cfg.use_native:
         from .native import builder as native
 
         if not native.available():
@@ -233,6 +231,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 sah_bins=cfg.sah_bins,
                 seed=cfg.seed,
                 leaf_size=leaf_size,
+                true_sah=cfg.true_sah,
             )
         # bf16 box rows: for bvh_width >= 4 the packers emit conservative
         # (min|max) bf16 pairs in f32-viewed lanes, which the compiled

@@ -1,0 +1,145 @@
+"""Full-frame benchmark: pass-based vs fused kernel, chained methodology.
+
+Times the car_boxed 1080p `bounces`-bounce frame (the reference's default
+workload) end-to-end through both frame formulations, with optional
+presplit/true-sah tree options. Writes metrics/bench_frame_<tag>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from parallel_ray_tracer_tpu import pipeline
+from parallel_ray_tracer_tpu.config import RenderConfig
+from parallel_ray_tracer_tpu.models.camera import ray_basis
+from parallel_ray_tracer_tpu.ops import pallas_trace
+from parallel_ray_tracer_tpu.ops.render import generate_rays_tiled
+from parallel_ray_tracer_tpu.ops.shade import trace_rays
+from parallel_ray_tracer_tpu.ops.vecmath import Vec3
+
+W, H = 1920, 1080
+
+
+def marginal_ms(fn, k_lo=1, k_hi=3, reps=3):
+    def timed(k):
+        float(fn(k))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--presplit", type=float, default=0.0)
+    ap.add_argument("--true-sah", action="store_true")
+    ap.add_argument("--scene", default="car_boxed")
+    ap.add_argument("--modes", default="pass,fused")
+    ap.add_argument("--tag", default=None)
+    args = ap.parse_args()
+
+    cfg = RenderConfig(
+        width=W, height=H, scene=args.scene, bounces=args.bounces,
+        bvh_heuristic=6, tile_rows=32, tile_cols=32,
+        presplit=args.presplit, true_sah=args.true_sah,
+    )
+    pipe = pipeline.prepare(cfg)
+    leaf = pipe.leaf_size
+    sdepth = pipe.pallas_stack_depth
+    packed = pipe.packed_dev
+    ds = pipe.ds
+    lamb = pallas_trace.pack_lights(ds)
+    cam = pipe.camera()
+    base = tuple(jnp.asarray(a) for a in ray_basis(cam, W, H))
+    origin, dir00, inc_x, inc_y = base
+
+    report = {
+        "scene": args.scene, "bounces": args.bounces,
+        "presplit": args.presplit, "true_sah": args.true_sah,
+        "n_tris": pipe.scene.num_triangles,
+    }
+
+    def rays(eps):
+        o, d = generate_rays_tiled(
+            (origin + eps, dir00, inc_x, inc_y), W, H, 32, 32
+        )
+        return o, d
+
+    if "pass" in args.modes.split(","):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_pass(eps0, k: int):
+            def body(i, eps):
+                o, d = rays(eps)
+                closest_fn, occluded_fn = pallas_trace.make_tracer(
+                    packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
+                )
+                col = trace_rays(ds, closest_fn, occluded_fn, o, d,
+                                 args.bounces)
+                return eps + jnp.sum(col.x) * 1e-18
+            return jax.lax.fori_loop(0, k, body, eps0)
+
+        ms = marginal_ms(lambda k: chain_pass(jnp.float32(0), k))
+        report["frame_pass_ms"] = ms
+        print(f"pass-based: {ms:.1f} ms", flush=True)
+
+    if "fused" in args.modes.split(","):
+        rows = None
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain_fused(eps0, k: int):
+            def body(i, eps):
+                o, d = rays(eps)
+                R = o.x.shape[0]
+                o2 = o.reshape(R // 128, 128)
+                d2 = d.reshape(R // 128, 128)
+                col = pallas_trace.frame_tiles(
+                    *packed, lamb, o2, d2, bounces=args.bounces,
+                    leaf_size=leaf, stack_depth=sdepth,
+                )
+                return eps + jnp.sum(col.x) * 1e-18
+            return jax.lax.fori_loop(0, k, body, eps0)
+
+        ms = marginal_ms(lambda k: chain_fused(jnp.float32(0), k))
+        report["frame_fused_ms"] = ms
+        print(f"fused: {ms:.1f} ms", flush=True)
+
+    tag = args.tag or (
+        f"b{args.bounces}"
+        + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
+        + ("_tsah" if args.true_sah else "")
+        + (f"_{args.scene}" if args.scene != "car_boxed" else "")
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "metrics", f"bench_frame_{tag}.json",
+    )
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

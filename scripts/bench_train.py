@@ -31,20 +31,22 @@ from parallel_ray_tracer_tpu import pipeline
 from parallel_ray_tracer_tpu.config import RenderConfig
 from parallel_ray_tracer_tpu.parallel import sharded
 
-W = H = 512
 BOUNCES = 2
+# brute's VJP materializes O(rays x tris) intermediates; keep it tiny.
+SIZES = {"pallas": 512, "brute": 128}
 
 
 def main():
-    cfg = RenderConfig(
-        width=W, height=H, scene="car_boxed", bvh_heuristic=6,
-        tile_rows=32, tile_cols=32,
-    )
-    pipe = pipeline.prepare(cfg)
     mesh = sharded.make_mesh(1)
-    report = {"width": W, "height": H, "bounces": BOUNCES}
+    report = {"sizes": SIZES, "bounces": BOUNCES}
 
     for variant in ("pallas", "brute"):
+        W = H = SIZES[variant]
+        cfg = RenderConfig(
+            width=W, height=H, scene="car_boxed", bvh_heuristic=6,
+            tile_rows=32, tile_cols=32,
+        )
+        pipe = pipeline.prepare(cfg)
         kwargs = {}
         if variant == "pallas":
             kwargs = dict(
@@ -86,9 +88,8 @@ def main():
         t_lo, t_hi = timed(1), timed(4)
         per_step_ms = (t_hi - t_lo) / 3 * 1e3
         report[f"{variant}_step_ms"] = per_step_ms
-        print(f"{variant}: {per_step_ms:.1f} ms/step", flush=True)
-        if variant == "brute" and W * H > 300_000:
-            break  # brute at big sizes is slow; keep the budget sane
+        report[f"{variant}_size"] = W
+        print(f"{variant} {W}x{H}: {per_step_ms:.1f} ms/step", flush=True)
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

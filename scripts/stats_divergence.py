@@ -65,7 +65,12 @@ def main():
     )
     pipe = pipeline.prepare(cfg)
     ds = pipe.ds
-    closest_fn, _ = pipe.tracers()
+    from parallel_ray_tracer_tpu.ops import pallas_trace
+
+    closest_fn, _ = pallas_trace.make_tracer(
+        pipe.packed_dev, pipe.leaf_size, ds=None,
+        stack_depth=pipe.pallas_stack_depth, dual=True,
+    )
 
     cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(pipe.camera(), W, H))
     o, d = generate_rays_tiled(cam_arrays, W, H, 32, 32)

@@ -84,6 +84,25 @@ class TestNativeBVH:
         ref = np.asarray(pipe.render(variant="bruteforce"))
         np.testing.assert_allclose(img, ref, atol=3e-5)
 
+    @pytest.mark.parametrize("true_sah", [False, True])
+    def test_true_sah_parity_with_numpy(self, true_sah):
+        """C++ and NumPy builders agree exactly, both area formulas."""
+        from parallel_ray_tracer_tpu.ops.bvh import build_bvh
+        from parallel_ray_tracer_tpu.ops.bvh_flat import flatten_bvh
+
+        rng = np.random.RandomState(3)
+        tv = rng.rand(2000, 3, 3).astype(np.float32)
+        flat_n, _, _ = nb.build_bvh_native(
+            tv, heuristic=6, leaf_threshold=8, leaf_size=8, true_sah=true_sah
+        )
+        bvh = build_bvh(tv, heuristic=6, leaf_threshold=8, true_sah=true_sah)
+        flat_p = flatten_bvh(bvh, tv, leaf_size=8)
+        assert np.array_equal(flat_n.slot_map, flat_p.slot_map)
+        np.testing.assert_allclose(flat_n.node_min, flat_p.node_min)
+        np.testing.assert_allclose(flat_n.node_max, flat_p.node_max)
+        assert np.array_equal(flat_n.count, flat_p.count)
+        assert np.array_equal(flat_n.a, flat_p.a)
+
     def test_deterministic_per_seed(self, tiny_scene):
         tv = tiny_scene.triangle_vertices()
         a = nb.build_bvh_native(tv, heuristic=3, seed=7)

@@ -71,6 +71,26 @@ class TestShardedRender:
         ref = np.asarray(pipe.render(variant="bruteforce"))
         np.testing.assert_allclose(img, ref, atol=3e-5)
 
+    def test_fused_variant_matches_oracle(self, tiny_scene, mesh):
+        """Whole-frame fused kernel inside shard_map."""
+        cfg = RenderConfig(
+            width=64, height=64, bounces=2, tile_rows=32, tile_cols=32,
+            bvh_heuristic=6,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        img = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.packed_dev, pipe.camera(), 64, 64, mesh,
+                bounces=2, leaf_size=pipe.leaf_size,
+                stack_depth=pipe.pallas_stack_depth, variant="fused",
+                interpret=True,
+            )
+        )
+        ref = np.asarray(pipe.render(variant="bruteforce"))
+        # rsqrt-vs-divide reassociation: tolerance slightly looser than
+        # the pass-based variants, still pixel-level agreement.
+        assert (np.abs(img - ref).max(axis=-1) < 1e-3).mean() > 0.995
+
     def test_round_robin_perm(self):
         perm = sharded.round_robin_perm(16, 4)
         # Device 0 gets positions 0..3 -> original tiles 0, 4, 8, 12.
