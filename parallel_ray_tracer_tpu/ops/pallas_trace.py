@@ -894,11 +894,14 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
-                      L: int, arity: int, n_attr: int, compressed: bool):
+                      L: int, arity: int, n_attr: int, compressed: bool,
+                      counters: bool = False):
     """Full dual-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
-    kernel (which runs it once per bounce, reusing the same stacks)."""
+    kernel (which runs it once per bounce, reusing the same stacks).
+    counters=True appends (inner_iters, leaf_visits, single_pending_iters)
+    scalars to the return tuple (see _run_occluded_dual)."""
     istack[0] = jnp.int32(0)
 
     def leaf(g, t, idx, nd, av):
@@ -919,22 +922,32 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
         return t, idx, nd, av
 
     def body(state):
-        isp, lsp, t, idx, nd, av = state
+        isp, lsp, t, idx, nd, av = state[:6]
+        cnt = state[6:]
 
         def do_leaf(args):
-            isp, lsp, t, idx, nd, av = args
+            isp, lsp, t, idx, nd, av = args[:6]
+            cnt = args[6:]
             lsp = lsp - 1
             g = -lstack[lsp] - 1
             t, idx, nd, av = leaf(g, t, idx, nd, av)
-            return isp, lsp, t, idx, nd, av
+            if counters:
+                cnt = (cnt[0], cnt[1] + 1, cnt[2])
+            return (isp, lsp, t, idx, nd, av) + cnt
 
         def do_inner(args):
-            isp, lsp, t, idx, nd, av = args
+            isp, lsp, t, idx, nd, av = args[:6]
+            cnt = args[6:]
+            if counters:
+                cnt = (
+                    cnt[0] + 1, cnt[1],
+                    cnt[2] + (isp < 2).astype(jnp.int32),
+                )
             isp, lsp = _dual_inner_visit(
                 qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
                 compressed,
             )
-            return isp, lsp, t, idx, nd, av
+            return (isp, lsp, t, idx, nd, av) + cnt
 
         return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
@@ -946,24 +959,36 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
         jnp.full((SUBLANES, LANES), -1, jnp.int32),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         tuple(zero for _ in range(n_attr)),
-    )
-    _, _, t, idx, nd, av = jax.lax.while_loop(
+    ) + ((jnp.int32(0),) * 3 if counters else ())
+    out = jax.lax.while_loop(
         lambda s: (s[0] > 0) | (s[1] > 0), body, init
     )
+    t, idx, nd, av = out[2:6]
+    if counters:
+        return t, idx, nd, av, out[6:]
     return t, idx, nd, av
 
 
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
-                       istack, lstack, L: int, arity: int, compressed: bool):
-    """Full dual-pop any-hit traversal; returns blocked (i32 lanes)."""
+                       istack, lstack, L: int, arity: int, compressed: bool,
+                       counters: bool = False):
+    """Full dual-pop any-hit traversal; returns blocked (i32 lanes).
+
+    counters=True additionally returns (inner_iters, leaf_visits,
+    single_pending_iters) scalars — debug instrumentation for visit
+    accounting (scripts/profile_visits.py); keeps the production path
+    free of the extra scalar adds.
+    """
     t_limit = jnp.sqrt(max_dist2)
     istack[0] = jnp.int32(0)
 
     def body(state):
-        isp, lsp, blocked, all_blocked = state
+        isp, lsp, blocked, all_blocked = state[:4]
+        cnt = state[4:]
 
         def do_leaf(args):
-            isp, lsp, blocked, all_blocked = args
+            isp, lsp, blocked, all_blocked = args[:4]
+            cnt = args[4:]
             lsp = lsp - 1
             g = -lstack[lsp] - 1
             row = tri[pl.ds(g, 1), :].astype(jnp.float32)
@@ -972,16 +997,24 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                 hit = (tj < T_MAX) & (tj * tj < max_dist2)
                 blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
             all_blocked = jnp.min(blocked)
-            return isp, lsp, blocked, all_blocked
+            if counters:
+                cnt = (cnt[0], cnt[1] + 1, cnt[2])
+            return (isp, lsp, blocked, all_blocked) + cnt
 
         def do_inner(args):
-            isp, lsp, blocked, all_blocked = args
+            isp, lsp, blocked, all_blocked = args[:4]
+            cnt = args[4:]
+            if counters:
+                cnt = (
+                    cnt[0] + 1, cnt[1],
+                    cnt[2] + (isp < 2).astype(jnp.int32),
+                )
             t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
             isp, lsp = _dual_inner_visit(
                 qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                 arity, compressed,
             )
-            return isp, lsp, blocked, all_blocked
+            return (isp, lsp, blocked, all_blocked) + cnt
 
         return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
@@ -990,50 +1023,73 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
         jnp.int32(0),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         jnp.int32(0),
-    )
-    _, _, blocked, _ = jax.lax.while_loop(
+    ) + ((jnp.int32(0),) * 3 if counters else ())
+    out = jax.lax.while_loop(
         lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
     )
-    return blocked
+    if counters:
+        return out[2], out[4:]
+    return out[2]
 
 
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
-                         compressed: bool = False):
+                         compressed: bool = False, counters: bool = False):
     """Dual-pop closest hit; with n_attr=12 also tracks surface attributes."""
 
     def kernel(*refs):
+        nc = 1 if counters else 0
         if n_attr:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
-            outs = refs[10:13 + n_attr]
-            istack, lstack = refs[13 + n_attr:]
+            outs = refs[10:13 + n_attr + nc]
+            istack, lstack = refs[13 + n_attr + nc:]
         else:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
             attr = None
-            outs = refs[9:12]
-            istack, lstack = refs[12:]
+            outs = refs[9:12 + nc]
+            istack, lstack = refs[12 + nc:]
         t_out, idx_out, nd_out = outs[:3]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
-        t, idx, nd, av = _run_closest_dual(
+        res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
-            L, arity, n_attr, compressed,
+            L, arity, n_attr, compressed, counters=counters,
         )
+        t, idx, nd, av = res[:4]
         t_out[:, :] = t
         idx_out[:, :] = idx
         nd_out[:, :] = nd
-        for ref, val in zip(outs[3:], av):
+        for ref, val in zip(outs[3:3 + n_attr], av):
             ref[:, :] = val
+        if counters:
+            cnt = res[4]
+            r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            outs[-1][:, :] = jnp.where(
+                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
+                                          jnp.where(r == 2, cnt[2], 0))
+            )
 
     return kernel
 
 
-def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False):
+def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
+                          counters: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
-               istack, lstack):
+               *rest):
+        istack, lstack = rest[-2:]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
-        out[:, :] = _run_occluded_dual(
+        res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
-            L, arity, compressed,
+            L, arity, compressed, counters=counters,
         )
+        if counters:
+            blocked, cnt = res
+            out[:, :] = blocked
+            r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            rest[0][:, :] = jnp.where(
+                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
+                                          jnp.where(r == 2, cnt[2], 0))
+            )
+        else:
+            out[:, :] = res
 
     return kernel
 
@@ -1693,15 +1749,18 @@ def _stream_scratch(n_rings: int):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream",
+        "stream", "counters",
     ),
 )
 def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
     stack_depth: int = STACK_DEPTH, dual: bool = False,
-    compressed: bool = False, stream: bool = False,
-) -> Hit:
-    """Closest hit over tiled rays: planes shaped (ntiles*8, 128)."""
+    compressed: bool = False, stream: bool = False, counters: bool = False,
+):
+    """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
+
+    counters=True (dual path only) also returns an (ntiles, 3) int32 array
+    of per-packet (inner_iters, leaf_visits, single_pending_iters)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
@@ -1714,13 +1773,19 @@ def closest_tiles(
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    assert not (counters and not (dual and arity >= 4)), \
+        "counters need the dual-pop kernels"
+    if counters:
+        out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     if stream:
         kernel = _closest_stream_kernel(leaf_size, arity, compressed=compressed)
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
         )
     elif dual and arity >= 4:
-        kernel = _closest_dual_kernel(leaf_size, arity, compressed=compressed)
+        kernel = _closest_dual_kernel(
+            leaf_size, arity, compressed=compressed, counters=counters
+        )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
     else:
         kernel = (
@@ -1728,21 +1793,26 @@ def closest_tiles(
             else _closest_kernel(leaf_size)
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
-    t, idx, nd = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(stream),
         out_specs=[
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ] * 3,
+        ] * len(out_shape),
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri)
-    return Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
+    t, idx, nd = outs[:3]
+    hit = Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
+    if counters:
+        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :3, 0]
+        return hit, cnt
+    return hit
 
 
 @functools.partial(
@@ -1817,28 +1887,39 @@ def closest_tiles_full(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream",
+        "stream", "counters",
     ),
 )
 def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
+    counters: bool = False,
 ):
-    """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128)."""
+    """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
+
+    counters=True (dual path only) also returns an (ntiles, 3) int32 array
+    of per-packet (inner_iters, leaf_visits, single_pending_iters)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    assert not (counters and not (dual and arity >= 4)), \
+        "counters need the dual-pop kernels"
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
+    if counters:
+        out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     if stream:
         kernel = _occluded_stream_kernel(leaf_size, arity, compressed=compressed)
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
         )
     elif dual and arity >= 4:
-        kernel = _occluded_dual_kernel(leaf_size, arity, compressed=compressed)
+        kernel = _occluded_dual_kernel(
+            leaf_size, arity, compressed=compressed, counters=counters
+        )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
     else:
         kernel = (
@@ -1846,21 +1927,24 @@ def occluded_tiles(
             else _occluded_kernel(leaf_size)
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
-    blocked = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        out_shape=out_shape,
         in_specs=_ray_specs(7) + _scene_specs(stream),
-        out_specs=pl.BlockSpec(
+        out_specs=[pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        )] * len(out_shape),
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri)
-    return blocked.astype(bool)
+    if counters:
+        cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :3, 0]
+        return outs[0].astype(bool), cnt
+    return outs[0].astype(bool)
 
 
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,

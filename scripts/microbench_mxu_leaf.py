@@ -50,7 +50,7 @@ EPS = 1e-3
 
 def vpu_kernel(iters):
     def kernel(ox, oy, oz, dx, dy, dz, tri, out):
-        o, d, inv = _load_rays(ox, oy, oz, dx, dy, dz)
+        o, d, inv, _oi = _load_rays(ox, oy, oz, dx, dy, dz)
 
         def body(i, carry):
             t, g = carry

@@ -1,0 +1,105 @@
+"""In-kernel visit accounting for the dual-pop kernels.
+
+Uses the counters mode of closest_tiles/occluded_tiles to record, per
+packet: dual-inner iterations, leaf visits, and iterations that had only
+ONE pending inner node (the duplicated slab work is then wasted). Together
+with the microbenched per-visit costs (BENCHMARKS.md roofline: ~116 vector
+ops per dual-inner iteration, ~433 ns per 8-triangle leaf visit) this
+decomposes every pass's measured time into explained vector work and
+locates the remaining headroom.
+
+Writes metrics/profile_visits.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from parallel_ray_tracer_tpu import pipeline
+from parallel_ray_tracer_tpu.config import RenderConfig
+from parallel_ray_tracer_tpu.ops import pallas_trace
+from parallel_ray_tracer_tpu.ops.vecmath import Vec3
+
+from bench_pass import bounce_ray_sets, shadow_rays  # noqa: E402
+
+W, H = 1920, 1080
+
+
+def stats(cnt: np.ndarray) -> dict:
+    inner, leaf, single = cnt[:, 0], cnt[:, 1], cnt[:, 2]
+    return {
+        "inner_iters_total": int(inner.sum()),
+        "leaf_visits_total": int(leaf.sum()),
+        "single_pending_total": int(single.sum()),
+        "inner_iters_mean": float(inner.mean()),
+        "leaf_visits_mean": float(leaf.mean()),
+        "single_pending_frac": float(single.sum() / max(inner.sum(), 1)),
+        "inner_iters_max": int(inner.max()),
+        "leaf_visits_max": int(leaf.max()),
+    }
+
+
+def main():
+    cfg = RenderConfig(
+        width=W, height=H, scene="car_boxed", bvh_heuristic=6,
+        tile_rows=32, tile_cols=32,
+    )
+    pipe = pipeline.prepare(cfg)
+    cbox, cmeta, tri, attr = pipe.packed_dev
+    leaf = pipe.leaf_size
+    sdepth = pipe.pallas_stack_depth
+
+    sets, ds, closest_fn = bounce_ray_sets(pipe, 2)
+    report = {"scene": "car_boxed", "true_sah": cfg.true_sah}
+
+    for b, (o, d, alive) in enumerate(sets):
+        from parallel_ray_tracer_tpu.ops.shade import mask_dead_rays
+
+        o_m, d_m = mask_dead_rays(o, d, alive)
+        rows = o_m.x.shape[0] // 128
+        o2 = Vec3(*(p.reshape(rows, 128) for p in o_m))
+        d2 = Vec3(*(p.reshape(rows, 128) for p in d_m))
+
+        _, cnt = pallas_trace.closest_tiles(
+            cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
+            dual=True, counters=True,
+        )
+        report[f"closest_b{b}"] = stats(np.asarray(cnt))
+        print(f"closest_b{b}", report[f"closest_b{b}"], flush=True)
+
+        so, sd, sm2 = shadow_rays(ds, o, d, alive, closest_fn)
+        so2 = Vec3(*(p.reshape(rows, 128) for p in so))
+        sd2 = Vec3(*(p.reshape(rows, 128) for p in sd))
+        _, ocnt = pallas_trace.occluded_tiles(
+            cbox, cmeta, tri, so2, sd2, sm2.reshape(rows, 128),
+            leaf_size=leaf, stack_depth=sdepth, dual=True, counters=True,
+        )
+        report[f"occluded_b{b}"] = stats(np.asarray(ocnt))
+        print(f"occluded_b{b}", report[f"occluded_b{b}"], flush=True)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "metrics", "profile_visits.json",
+    )
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
