@@ -77,10 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "build until every AABB diagonal <= RATIO * scene "
                         "diagonal (0 = off, reference build parity; try "
                         "0.0625)")
-    p.add_argument("--true-sah", action="store_true",
+    p.add_argument("--true-sah", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="score heuristic-6 splits by true surface area "
                         "instead of the reference's squared diagonal "
-                        "(NumPy builder)")
+                        "(--no-true-sah for strict reference tree parity)")
+    p.add_argument("--mxu-leaf", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="evaluate leaf Möller-Trumbore on the MXU (one "
+                        "bf16x3 matmul per leaf visit; dual-pop kernels "
+                        "only — other configs fall back to the VPU leaf)")
     p.add_argument("--tile", default="32x32",
                    help="pixel tile shape ROWSxCOLS (1024 rays per packet)")
     p.add_argument("--iterations", type=int, default=1)
@@ -151,6 +157,7 @@ def config_from_args(args) -> RenderConfig:
         presplit=args.presplit,
         stream=args.stream,
         true_sah=args.true_sah,
+        mxu_leaf=args.mxu_leaf,
     )
 
 

@@ -119,6 +119,15 @@ class RenderConfig:
     # measured -4% coherent to -18% on divergent bounce passes).
     dual_pop: bool = True
 
+    # Evaluate leaf Möller-Trumbore on the MXU: each leaf group carries a
+    # (32, 16) C-matrix of the four per-(ray, triangle) linear quantities
+    # and a visit is one (32,16)@(16,1024) matmul (bf16x3 operand split
+    # for f32-grade accuracy; see pallas_trace._mxu_leaf_closest).
+    # Measured ~1.6x the VPU leaf (433 -> 274 ns per 8-triangle visit).
+    # Applies to the dual-pop pallas kernels (bvh_width >= 4, leaf_size 8,
+    # non-streamed); other configurations fall back to the VPU leaf.
+    mxu_leaf: bool = True
+
     # Score SAH splits by true surface area instead of the reference's
     # squared-diagonal approximation (cpu/src/bvh.c:43-46). A documented
     # TPU-first divergence, ON by default (measured -3.5% full frame,

@@ -88,6 +88,7 @@ class PackedBVH:
     tri: np.ndarray     # (G, 128) f32
     leaf_size: int
     compressed: bool = False   # cbox holds bf16 (min|max) pairs (f32 view)
+    cmat: "np.ndarray | None" = None  # (G*4L, 16) f32 MXU leaf C-matrices
 
     @property
     def n_inner(self) -> int:
@@ -157,7 +158,45 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
     if bf16:
         cbox = cbox_to_bf16(cbox)
 
-    return PackedBVH(cbox=cbox, cmeta=cmeta, tri=tri, leaf_size=L)
+    cmat = _build_cmat(v0, e1, e2, n, sm, G, L)
+    return PackedBVH(cbox=cbox, cmeta=cmeta, tri=tri, leaf_size=L, cmat=cmat)
+
+
+def _build_cmat(v0, e1, e2, n, sm, G: int, L: int) -> np.ndarray:
+    """(G*4L, 16) leaf C-matrices for the MXU leaf path.
+
+    Möller-Trumbore's four per-(ray, triangle) quantities are LINEAR in the
+    per-ray feature vector R = [d(3), M=o x d(3), o(3), 1, pad(6)]:
+
+        det   = (-n) . d
+        t_num = n . o - (v0 . n)            (= (o - v0) . n)
+        u_num = e2 . M - (e2 x v0) . d      (= e2 . ((o - v0) x d))
+        v_num = (e1 x v0) . d - e1 . M      (= -e1 . ((o - v0) x d))
+
+    so a whole leaf group's tests collapse into ONE (4L, 16) @ (16, 1024)
+    matmul per packet visit — the MXU evaluates what the VPU's broadcast
+    Möller-Trumbore (_mt_scalar_tri, cpu/src/raytracer.c:35-59 semantics)
+    computes with ~50 vector ops per triangle. Row layout per group g
+    (block q-major so the matmul output slices into native (8,128) vregs):
+    rows [4L*g + L*q + j] for quantity q in (det, t_num, u_num, v_num) of
+    triangle j. Degenerate padding slots stay all-zero: det == 0 -> miss.
+    """
+    c1 = np.cross(e1, v0)
+    c2 = np.cross(e2, v0)
+    S = v0.shape[0]
+    C = np.zeros((4, S, 16), np.float32)
+    C[0, :, 0:3] = -n
+    C[1, :, 6:9] = n
+    C[1, :, 9] = -np.sum(n.astype(np.float64) * v0, axis=1).astype(np.float32)
+    C[2, :, 3:6] = e2
+    C[2, :, 0:3] = -c2
+    C[3, :, 3:6] = -e1
+    C[3, :, 0:3] = c1
+    C[:, sm < 0] = 0.0
+    # (4, G, L, 16) -> (G, 4, L, 16) -> (G*4L, 16)
+    return np.ascontiguousarray(
+        C.reshape(4, G, L, 16).transpose(1, 0, 2, 3)
+    ).reshape(G * 4 * L, 16)
 
 
 def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
@@ -231,7 +270,8 @@ def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
         # unlike a raw bf16-dtype table (16-bit dynamic-row-slice limit).
         qbox = pack_box_bf16_pairs(qbox, 4)
     return PackedBVH(
-        cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L, compressed=bf16
+        cbox=qbox, cmeta=qmeta, tri=tri, leaf_size=L, compressed=bf16,
+        cmat=binary.cmat,
     )
 
 
@@ -296,7 +336,8 @@ def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
     if bf16:
         obox = pack_box_bf16_pairs(obox, 8)
     return PackedBVH(
-        cbox=obox, cmeta=ometa, tri=tri, leaf_size=L, compressed=bf16
+        cbox=obox, cmeta=ometa, tri=tri, leaf_size=L, compressed=bf16,
+        cmat=binary.cmat,
     )
 
 
@@ -841,6 +882,224 @@ def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
 # improves pruning for the inner visits that follow.
 
 
+# ---------------------------------------------------------------------------
+# MXU leaf evaluation
+# ---------------------------------------------------------------------------
+#
+# The VPU scalar-broadcast Möller-Trumbore (_mt_scalar_tri) runs at ~100% of
+# the VPU issue rate (~433 ns per 8-triangle leaf visit, measured in
+# scripts/microbench_mxu_leaf2.py) — the formulation's ~50 vector ops per
+# triangle ARE the cost. The MXU path instead evaluates the four linear
+# MT quantities of all L triangles x 1024 rays as one (4L,16)@(16,1024)
+# matmul (see _build_cmat). Two details make it fast AND accurate:
+#
+#  - LANE GROUPING: R's 1024 lanes are ordered ray-row-major (lane
+#    r*128 + c = ray (r, c) of the packet's (8,128) planes), so the matmul
+#    output statically slices into native (8,128) vregs per ray row with
+#    sublane = triangle; the hit logic runs at full VPU rate and the
+#    per-row results reassemble into (8,128) planes with plain concatenates
+#    — zero relayouts.
+#  - bf16x3: Mosaic's default f32 dot precision is bf16x1 (measured 9e-3
+#    rel err, 73/1024 hit flips) and HIGHEST costs 345 ns/leaf (no win), so
+#    the operands are pre-split into hi+lo bf16 halves and the three
+#    significant cross products taken at native MXU rate:
+#        C @ R ~= Ch@Rh + Ch@Rl + Cl@Rh      (residual Cl@Rl ~ 2^-16 rel)
+#    Measured 2.2e-5 rel t error, zero hit flips, 227-274 ns per leaf
+#    (scripts/microbench_mxu_leaf5.py) — ~1.6x the VPU leaf.
+#  - INTERLEAVED STORAGE: Mosaic pads a (N, 16) bf16 table's minor dim to
+#    128 lanes (8x its logical VMEM size — two separate half tables OOM
+#    VMEM on car_boxed-class scenes). The halves are therefore interleaved
+#    into ONE (4L*G, 32) array, rows [hi(16) | lo(16)], halving the padded
+#    footprint at identical speed (247 vs 243 ns/leaf; truly lane-packed
+#    transposed layouts force a contract-dim-0 dot that measures 3x slower
+#    — scripts/microbench_mxu_leaf6.py).
+#
+# C's halves are split+interleaved once at upload (one bf16 array, 8 KB
+# VMEM per group); R's halves once per packet. Requires leaf_size == 8
+# (sublane = triangle).
+
+
+def _split_bf16(x):
+    """hi+lo bf16 decomposition of an f32 array (x ~= hi + lo exactly to
+    ~2^-16 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _rmat_init_const(rsc):
+    """One-time constant rows of the R-matrix scratch: row 9 = 1 (the
+    C-matrix's v0.n offset column), rows 10-15 = 0 (padding to K=16)."""
+    one = jnp.ones((1, SUBLANES * LANES), jnp.float32)
+    rsc[9:10, :] = one
+    rsc[10:16, :] = jnp.zeros((6, SUBLANES * LANES), jnp.float32)
+
+
+def _rmat_load(rsc, o: Vec3, d: Vec3):
+    """Build R = [d, o x d, o, 1, 0..] in the (16, 1024) VMEM scratch and
+    return its bf16 hi/lo halves.
+
+    The (8,128) ray planes regroup to ray-row-major 1024-lane rows (lane
+    r*128 + c = ray (r, c)) via 72 static (1,128) stores — Mosaic cannot
+    lane-concatenate sublane-offset slices as values, but static strided
+    stores are cheap and amortize over every leaf visit that follows.
+    Call _rmat_init_const once beforehand (constant rows persist)."""
+    mx = o.y * d.z - o.z * d.y
+    my = o.z * d.x - o.x * d.z
+    mz = o.x * d.y - o.y * d.x
+    feats = (d.x, d.y, d.z, mx, my, mz, o.x, o.y, o.z)
+    for p, f in enumerate(feats):
+        for r in range(SUBLANES):
+            rsc[p : p + 1, r * LANES : (r + 1) * LANES] = f[r : r + 1, :]
+    return _split_bf16(rsc[:, :])
+
+
+def _mxu_leaf_quants(cmi, Rh, Rl, g):
+    """(32, 1024) det/t/u/v numerators of leaf group g via 3 bf16 matmuls."""
+    crow = cmi[pl.ds(g * 32, 32), :]
+    Ch = crow[:, 0:16]
+    Cl = crow[:, 16:32]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
+
+
+def _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2):
+    """(64, 1024) quantities of TWO leaf groups via one set of 3 matmuls.
+
+    Stacking both groups' C-matrices along sublanes costs the MXU nothing
+    extra (M <= 128 rides the same pass) and amortizes the dot's
+    fill/drain latency — the single-leaf visit measured barely faster
+    than the VPU leaf in-kernel because that latency cannot overlap the
+    surrounding traversal iteration. Rows [0:32] = g1, [32:64] = g2."""
+    crow = jnp.concatenate(
+        [cmi[pl.ds(g1 * 32, 32), :], cmi[pl.ds(g2 * 32, 32), :]], axis=0
+    )
+    Ch = crow[:, 0:16]
+    Cl = crow[:, 16:32]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
+
+
+def _mxu_rows(outm):
+    """Per ray row r: (t-candidates, det) as (8,128) vregs, sublane = tri."""
+    for r in range(SUBLANES):
+        blk = outm[:, r * LANES : (r + 1) * LANES]
+        det = blk[0:8, :]
+        invdet = 1.0 / det
+        tj = blk[8:16, :] * invdet
+        u = blk[16:24, :] * invdet
+        v = blk[24:32, :] * invdet
+        hit = (
+            (jnp.abs(det) >= EPSILON)
+            & (tj > EPSILON)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & ((u + v) <= 1.0)
+        )
+        yield jnp.where(hit, tj, T_MAX), det
+
+
+def _mxu_winners(outm, L):
+    """Per-group winner planes from a (32, 1024) quantity block.
+
+    Returns (tnew, jnew, ndnew) as (8, 128) planes. Within the leaf the
+    smallest triangle index wins ties, matching the VPU sequential loop."""
+    jio = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    trows, jrows, ndrows = [], [], []
+    for tcand, det in _mxu_rows(outm):
+        rmin = jnp.min(tcand, axis=0, keepdims=True)           # (1,128)
+        jc = jnp.where(tcand <= rmin, jio, L)
+        jmin = jnp.min(jc, axis=0, keepdims=True)
+        ndc = jnp.where(jc <= jmin, (det < 0.0).astype(jnp.int32), 0)
+        ndrows.append(jnp.max(ndc, axis=0, keepdims=True))
+        trows.append(rmin)
+        jrows.append(jmin)
+    return (
+        jnp.concatenate(trows, axis=0),                        # (8,128)
+        jnp.concatenate(jrows, axis=0),
+        jnp.concatenate(ndrows, axis=0),
+    )
+
+
+def _mxu_merge_winner(g, tnew, jnew, ndnew, t, idx, nd, L):
+    """Strictly-closer merge of one group's winners into the running hit."""
+    better = tnew < t
+    t = jnp.where(better, tnew, t)
+    idx = jnp.where(better, g * L + jnew, idx)
+    nd = jnp.where(better, ndnew, nd)
+    return t, idx, nd, better
+
+
+def _mxu_leaf_closest(cmi, Rh, Rl, g, t, idx, nd, L):
+    """MXU closest-hit leaf update; returns (t, idx, nd, better, jnew)."""
+    outm = _mxu_leaf_quants(cmi, Rh, Rl, g)
+    tnew, jnew, ndnew = _mxu_winners(outm, L)
+    t, idx, nd, better = _mxu_merge_winner(g, tnew, jnew, ndnew, t, idx, nd, L)
+    return t, idx, nd, better, jnew
+
+
+def _mxu_leaf_closest2(cmi, Rh, Rl, g1, g2, t, idx, nd, L):
+    """Two-leaf MXU closest-hit update (one 3-dot set for both groups).
+
+    Merges sequentially (g1 = stack top first), so a duplicate pop
+    (g2 == g1, the lsp == 1 case) is idempotent under the strict-< merge.
+    Returns (t, idx, nd, (better1, jnew1, better2, jnew2))."""
+    outm = _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2)
+    t1, j1, n1 = _mxu_winners(outm[0:32, :], L)
+    t2, j2, n2 = _mxu_winners(outm[32:64, :], L)
+    t, idx, nd, b1 = _mxu_merge_winner(g1, t1, j1, n1, t, idx, nd, L)
+    t, idx, nd, b2 = _mxu_merge_winner(g2, t2, j2, n2, t, idx, nd, L)
+    return t, idx, nd, (b1, j1, b2, j2)
+
+
+def _mxu_attr_select(tri_row, arow, better, jnew, av, L):
+    """Attribute-tracking selects driven by the MXU leaf's winner index."""
+    for j in range(L):
+        mj = better & (jnew == j)
+        scal = (
+            *_extract3(tri_row, TRI_STRIDE * j + 9),   # unnormalized n
+            *_extract3(arow, ATTR_STRIDE * j),         # kd
+            *_extract3(arow, ATTR_STRIDE * j + 3),     # ks
+            *_extract3(arow, ATTR_STRIDE * j + 6),     # kr
+        )
+        av = tuple(jnp.where(mj, s, a) for s, a in zip(scal, av))
+    return av
+
+
+def _mxu_leaf_occluded(cmi, Rh, Rl, g, blocked, max_dist2):
+    """MXU any-hit leaf update (hit & closer than the light -> blocked)."""
+    outm = _mxu_leaf_quants(cmi, Rh, Rl, g)
+    return _mxu_occl_merge(outm, blocked, max_dist2)
+
+
+def _mxu_leaf_occluded2(cmi, Rh, Rl, g1, g2, blocked, max_dist2):
+    """Two-leaf MXU any-hit update (duplicate pops are idempotent)."""
+    outm = _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2)
+    blocked = _mxu_occl_merge(outm[0:32, :], blocked, max_dist2)
+    return _mxu_occl_merge(outm[32:64, :], blocked, max_dist2)
+
+
+def _mxu_occl_merge(outm, blocked, max_dist2):
+    rows = []
+    for r, (tcand, _det) in enumerate(_mxu_rows(outm)):
+        m2r = max_dist2[r : r + 1, :]                          # (1,128)
+        hitrow = (tcand < T_MAX) & (tcand * tcand < m2r)
+        rows.append(jnp.max(hitrow.astype(jnp.int32), axis=0, keepdims=True))
+    return jnp.maximum(blocked, jnp.concatenate(rows, axis=0))
+
+
 def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                       arity: int, compressed: bool = False):
     """Visit the top one-or-two inner nodes; push their children.
@@ -895,14 +1154,28 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
-                      counters: bool = False):
+                      counters: bool = False, mxu=None):
     """Full dual-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
     kernel (which runs it once per bounce, reusing the same stacks).
     counters=True appends (inner_iters, leaf_visits, single_pending_iters)
-    scalars to the return tuple (see _run_occluded_dual)."""
+    scalars to the return tuple (see _run_occluded_dual). mxu, when given,
+    is (Rh, Rl, cmi) and switches leaf evaluation to the MXU path."""
     istack[0] = jnp.int32(0)
+
+    def leaf2(g1, g2, t, idx, nd, av):
+        """Two leaf groups per visit on the MXU (see _mxu_leaf_quants2)."""
+        Rh, Rl, cmi = mxu
+        t, idx, nd, (b1, j1, b2, j2) = _mxu_leaf_closest2(
+            cmi, Rh, Rl, g1, g2, t, idx, nd, L
+        )
+        if n_attr:
+            for g, better, jnew in ((g1, b1, j1), (g2, b2, j2)):
+                tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
+                av = _mxu_attr_select(tri_row, arow, better, jnew, av, L)
+        return t, idx, nd, av
 
     def leaf(g, t, idx, nd, av):
         tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
@@ -928,9 +1201,17 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
         def do_leaf(args):
             isp, lsp, t, idx, nd, av = args[:6]
             cnt = args[6:]
-            lsp = lsp - 1
-            g = -lstack[lsp] - 1
-            t, idx, nd, av = leaf(g, t, idx, nd, av)
+            if mxu is not None:
+                # Pop two groups per visit (duplicate pop when only one
+                # is pending — idempotent under the strict-< merge).
+                g1 = -lstack[lsp - 1] - 1
+                lsp = jnp.maximum(lsp - 2, 0)
+                g2 = -lstack[lsp] - 1
+                t, idx, nd, av = leaf2(g1, g2, t, idx, nd, av)
+            else:
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                t, idx, nd, av = leaf(g, t, idx, nd, av)
             if counters:
                 cnt = (cnt[0], cnt[1] + 1, cnt[2])
             return (isp, lsp, t, idx, nd, av) + cnt
@@ -971,13 +1252,14 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
-                       counters: bool = False):
+                       counters: bool = False, mxu=None):
     """Full dual-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_visits,
     single_pending_iters) scalars — debug instrumentation for visit
     accounting (scripts/profile_visits.py); keeps the production path
-    free of the extra scalar adds.
+    free of the extra scalar adds. mxu, when given, is (Rh, Rl, cmi)
+    and switches leaf evaluation to the MXU path.
     """
     t_limit = jnp.sqrt(max_dist2)
     istack[0] = jnp.int32(0)
@@ -989,13 +1271,22 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
         def do_leaf(args):
             isp, lsp, blocked, all_blocked = args[:4]
             cnt = args[4:]
-            lsp = lsp - 1
-            g = -lstack[lsp] - 1
-            row = tri[pl.ds(g, 1), :].astype(jnp.float32)
-            for j in range(L):
-                tj, _ = _mt_scalar_tri(o, d, row, j)
-                hit = (tj < T_MAX) & (tj * tj < max_dist2)
-                blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+            if mxu is not None:
+                Rh, Rl, cmi = mxu
+                g1 = -lstack[lsp - 1] - 1
+                lsp = jnp.maximum(lsp - 2, 0)
+                g2 = -lstack[lsp] - 1
+                blocked = _mxu_leaf_occluded2(
+                    cmi, Rh, Rl, g1, g2, blocked, max_dist2
+                )
+            else:
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
             all_blocked = jnp.min(blocked)
             if counters:
                 cnt = (cnt[0], cnt[1] + 1, cnt[2])
@@ -1033,25 +1324,40 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 
 
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
-                         compressed: bool = False, counters: bool = False):
-    """Dual-pop closest hit; with n_attr=12 also tracks surface attributes."""
+                         compressed: bool = False, counters: bool = False,
+                         mxu: bool = False):
+    """Dual-pop closest hit; with n_attr=12 also tracks surface attributes.
+
+    mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
+    VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest)."""
 
     def kernel(*refs):
         nc = 1 if counters else 0
+        nm = 1 if mxu else 0
         if n_attr:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
-            outs = refs[10:13 + n_attr + nc]
-            istack, lstack = refs[13 + n_attr + nc:]
+            mxu_refs = refs[10:10 + nm]
+            outs = refs[10 + nm:13 + nm + n_attr + nc]
+            scratch = refs[13 + nm + n_attr + nc:]
         else:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
             attr = None
-            outs = refs[9:12 + nc]
-            istack, lstack = refs[12 + nc:]
+            mxu_refs = refs[9:9 + nm]
+            outs = refs[9 + nm:12 + nm + nc]
+            scratch = refs[12 + nm + nc:]
+        istack, lstack = scratch[:2]
         t_out, idx_out, nd_out = outs[:3]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
+        mxu_args = None
+        if mxu:
+            (cmi,) = mxu_refs
+            rsc = scratch[2]
+            _rmat_init_const(rsc)
+            Rh, Rl = _rmat_load(rsc, o, d)
+            mxu_args = (Rh, Rl, cmi)
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
-            L, arity, n_attr, compressed, counters=counters,
+            L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1071,14 +1377,26 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 
 
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
-                          counters: bool = False):
-    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
-               *rest):
-        istack, lstack = rest[-2:]
+                          counters: bool = False, mxu: bool = False):
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
+        cmi = None
+        if mxu:
+            cmi = rest[0]
+            rest = rest[1:]
+        out = rest[0]
+        rest = rest[1:]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
+        mxu_args = None
+        if mxu:
+            istack, lstack, rsc = rest[-3:]
+            _rmat_init_const(rsc)
+            Rh, Rl = _rmat_load(rsc, o, d)
+            mxu_args = (Rh, Rl, cmi)
+        else:
+            istack, lstack = rest[-2:]
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
-            L, arity, compressed, counters=counters,
+            L, arity, compressed, counters=counters, mxu=mxu_args,
         )
         if counters:
             blocked, cnt = res
@@ -1525,11 +1843,18 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 
 
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
-                        compressed: bool = False):
+                        compressed: bool = False, mxu: bool = False):
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
-               r_out, g_out, b_out, istack, lstack):
+               *rest):
+        if mxu:
+            cmi = rest[0]
+            (r_out, g_out, b_out, istack, lstack, rsc) = rest[1:]
+            _rmat_init_const(rsc)
+        else:
+            cmi = None
+            (r_out, g_out, b_out, istack, lstack) = rest
         shape = (SUBLANES, LANES)
         fone = jnp.ones(shape, jnp.float32)
         fzero = jnp.zeros(shape, jnp.float32)
@@ -1563,9 +1888,10 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                        jnp.clip(1.0 / d.z, -lim, lim))
             oi = Vec3(o.x * inv.x, o.y * inv.y, o.z * inv.z)
 
+            mxu_c = (*_rmat_load(rsc, o, d), cmi) if mxu else None
             t, _, nd, av = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
-                L, arity, 12, compressed,
+                L, arity, 12, compressed, mxu=mxu_c,
             )
             is_hit = t < jnp.float32(T_MAX)
             # miss: final += multiplier * ambient, lane dies
@@ -1621,9 +1947,10 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                             jnp.clip(1.0 / sd.y, -lim, lim),
                             jnp.clip(1.0 / sd.z, -lim, lim))
                 soi = Vec3(so.x * sinv.x, so.y * sinv.y, so.z * sinv.z)
+                mxu_o = (*_rmat_load(rsc, so, sd), cmi) if mxu else None
                 blocked = _run_occluded_dual(
                     qbox, qmeta, tri, so, sd, sinv, soi, mag2,
-                    istack, lstack, L, arity, compressed,
+                    istack, lstack, L, arity, compressed, mxu=mxu_o,
                 )
                 vis = (
                     jnp.logical_not(backface).astype(jnp.float32)
@@ -1667,7 +1994,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
 def frame_tiles(
     cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
-    compressed: bool = False,
+    compressed: bool = False, cmat=None,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -1681,9 +2008,15 @@ def frame_tiles(
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert arity >= 4, "fused frame kernel needs bvh_width >= 4"
     num_lights = int(lamb.shape[0]) - 1
+    mxu = cmat is not None and arity >= 4 and leaf_size == SUBLANES
     kernel = _frame_fused_kernel(
-        leaf_size, arity, bounces, num_lights, compressed
+        leaf_size, arity, bounces, num_lights, compressed, mxu=mxu
     )
+    extra_in = [cmat] if mxu else []
+    extra_specs = _MXU_SPECS if mxu else []
+    scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+    if mxu:
+        scratch = scratch + [_RMAT_SCRATCH]
     block = pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1694,14 +2027,14 @@ def frame_tiles(
         in_specs=_ray_specs(6) + _scene_specs(False) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights + ambient
-        ],
+        ] + extra_specs,
         out_specs=[block] * 3,
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)] * 2,
+        scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, lamb)
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, lamb, *extra_in)
     return Vec3(r, g, b)
 
 
@@ -1727,6 +2060,14 @@ def _ray_specs(n: int):
         pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(n)
     ]
+
+
+_MXU_SPECS = [
+    pl.BlockSpec(memory_space=pltpu.VMEM),  # cmi (interleaved [hi|lo])
+]
+
+# R-matrix build scratch for the MXU leaf path (see _rmat_load).
+_RMAT_SCRATCH = pltpu.VMEM((16, SUBLANES * LANES), jnp.float32)
 
 
 def _scene_specs(stream: bool = False):
@@ -1756,6 +2097,7 @@ def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
+    cmat=None,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -1777,6 +2119,15 @@ def closest_tiles(
         "counters need the dual-pop kernels"
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
+    # non-streamed); ineligible calls fall back to the VPU leaf.
+    mxu = cmat is not None and dual and arity >= 4 and not stream \
+        and leaf_size == SUBLANES
+    extra_in = []
+    extra_specs = []
+    if mxu:
+        extra_in = [cmat]
+        extra_specs = _MXU_SPECS
     if stream:
         kernel = _closest_stream_kernel(leaf_size, arity, compressed=compressed)
         scratch = (
@@ -1784,9 +2135,12 @@ def closest_tiles(
         )
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
-            leaf_size, arity, compressed=compressed, counters=counters
+            leaf_size, arity, compressed=compressed, counters=counters,
+            mxu=mxu,
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        if mxu:
+            scratch = scratch + [_RMAT_SCRATCH]
     else:
         kernel = (
             _closest4_kernel(leaf_size, arity, compressed) if arity >= 4
@@ -1797,7 +2151,7 @@ def closest_tiles(
         kernel,
         grid=grid,
         out_shape=out_shape,
-        in_specs=_ray_specs(6) + _scene_specs(stream),
+        in_specs=_ray_specs(6) + _scene_specs(stream) + extra_specs,
         out_specs=[
             pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * len(out_shape),
@@ -1806,7 +2160,7 @@ def closest_tiles(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri)
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, *extra_in)
     t, idx, nd = outs[:3]
     hit = Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
     if counters:
@@ -1826,6 +2180,7 @@ def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
+    cmat=None,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -1843,6 +2198,15 @@ def closest_tiles_full(
     )
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
+    # non-streamed); ineligible calls fall back to the VPU leaf.
+    mxu = cmat is not None and dual and arity >= 4 and not stream \
+        and leaf_size == SUBLANES
+    extra_in = []
+    extra_specs = []
+    if mxu:
+        extra_in = [cmat]
+        extra_specs = _MXU_SPECS
     if stream:
         kernel = _closest_stream_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed
@@ -1852,9 +2216,11 @@ def closest_tiles_full(
         )
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
-            leaf_size, arity, n_attr=12, compressed=compressed
+            leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        if mxu:
+            scratch = scratch + [_RMAT_SCRATCH]
     else:
         kernel = _closest_attr_kernel(leaf_size, arity, compressed)
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)]
@@ -1864,14 +2230,14 @@ def closest_tiles_full(
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(stream) + [
             pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM)
-        ],
+        ] + extra_specs,
         out_specs=[block] * 15,
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr)
+    )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, *extra_in)
     t, idx, nd = res[0], res[1], res[2]
     a = res[3:]
     return HitFull(
@@ -1894,7 +2260,7 @@ def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
-    counters: bool = False,
+    counters: bool = False, cmat=None,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -1911,6 +2277,15 @@ def occluded_tiles(
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
+    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
+    # non-streamed); ineligible calls fall back to the VPU leaf.
+    mxu = cmat is not None and dual and arity >= 4 and not stream \
+        and leaf_size == SUBLANES
+    extra_in = []
+    extra_specs = []
+    if mxu:
+        extra_in = [cmat]
+        extra_specs = _MXU_SPECS
     if stream:
         kernel = _occluded_stream_kernel(leaf_size, arity, compressed=compressed)
         scratch = (
@@ -1918,9 +2293,12 @@ def occluded_tiles(
         )
     elif dual and arity >= 4:
         kernel = _occluded_dual_kernel(
-            leaf_size, arity, compressed=compressed, counters=counters
+            leaf_size, arity, compressed=compressed, counters=counters,
+            mxu=mxu,
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        if mxu:
+            scratch = scratch + [_RMAT_SCRATCH]
     else:
         kernel = (
             _occluded4_kernel(leaf_size, arity, compressed) if arity >= 4
@@ -1931,7 +2309,7 @@ def occluded_tiles(
         kernel,
         grid=(ntiles,),
         out_shape=out_shape,
-        in_specs=_ray_specs(7) + _scene_specs(stream),
+        in_specs=_ray_specs(7) + _scene_specs(stream) + extra_specs,
         out_specs=[pl.BlockSpec(
             (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )] * len(out_shape),
@@ -1940,7 +2318,7 @@ def occluded_tiles(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri)
+    )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, *extra_in)
     if counters:
         cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :3, 0]
         return outs[0].astype(bool), cnt
@@ -1952,12 +2330,18 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 compressed: bool = False, stream: bool = False):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
-    packed_dev: (cbox, cmeta, tri[, attr]) device arrays from a PackedBVH.
-    With the 4th `attr` array, closest returns HitFull (surface attributes
-    resolved in-kernel — no shading gathers). Pass `ds` to extend with the
-    dense sphere post-pass (ops/spheres.py). `stack_depth` should come from
+    packed_dev: (cbox, cmeta, tri[, attr][, cmi]) device arrays from a
+    PackedBVH. With the `attr` array, closest returns HitFull (surface
+    attributes resolved in-kernel — no shading gathers). With the trailing
+    cmi interleaved-bf16 C-matrix table, leaves are evaluated on the MXU
+    (dual-pop kernels only). Pass `ds` to extend with the dense sphere
+    post-pass (ops/spheres.py). `stack_depth` should come from
     required_stack_depth(flat.depth, arity).
     """
+    cmat = None
+    if len(packed_dev) >= 5:
+        cmat = packed_dev[-1]
+        packed_dev = packed_dev[:-1]
     if len(packed_dev) == 4:
         cbox, cmeta, tri, attr = packed_dev
     else:
@@ -1974,7 +2358,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, dual=dual, compressed=compressed,
-                stream=stream,
+                stream=stream, cmat=cmat,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -1985,7 +2369,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
         h = closest_tiles(
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
-            dual=dual, compressed=compressed, stream=stream,
+            dual=dual, compressed=compressed, stream=stream, cmat=cmat,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -2000,7 +2384,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             o.reshape(rows, LANES), d.reshape(rows, LANES),
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
-            dual=dual, compressed=compressed, stream=stream,
+            dual=dual, compressed=compressed, stream=stream, cmat=cmat,
         )
         return blocked.reshape(R)
 

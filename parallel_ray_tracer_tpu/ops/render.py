@@ -297,8 +297,9 @@ def _render_bvh_fused(
     d2 = d.reshape(rows, pallas_trace.LANES)
     lamb = pallas_trace.pack_lights(ds)
     col = pallas_trace.frame_tiles(
-        *packed_dev, lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
+        *packed_dev[:4], lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
+        cmat=packed_dev[4] if len(packed_dev) >= 5 else None,
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)

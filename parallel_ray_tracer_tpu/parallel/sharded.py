@@ -115,11 +115,12 @@ def _render_sharded(
             lamb = pallas_trace.pack_lights(ds_r)
             rows = of.x.shape[0] // pallas_trace.LANES
             col = pallas_trace.frame_tiles(
-                *tracer_r, lamb,
+                *tracer_r[:4], lamb,
                 of.reshape(rows, pallas_trace.LANES),
                 df.reshape(rows, pallas_trace.LANES),
                 bounces=bounces, leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, compressed=compressed,
+                cmat=tracer_r[4] if len(tracer_r) >= 5 else None,
             ).reshape(nt_local * K)
             col = col.clamp(0.0, 1.0)
             return jnp.stack(

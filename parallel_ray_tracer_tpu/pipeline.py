@@ -26,6 +26,11 @@ from .ops import pallas_trace, render as render_ops, trace_bvh
 from .ops.bvh import BVH, build_bvh
 from .ops.bvh_flat import FlatBVH, flatten_bvh
 
+# Scene-block VMEM ceiling for the MXU leaf path: the v5e holds 128 MB of
+# VMEM and the padded C-matrix table (rows x 128 lanes x 2 B) dominates;
+# leave headroom for ray windows, stacks, and the fused kernel's state.
+_MXU_VMEM_BUDGET = 88 * 1024 * 1024
+
 
 @dataclasses.dataclass
 class Pipeline:
@@ -92,7 +97,7 @@ class Pipeline:
                 fast_light=cfg.fast_light,
             )
         if variant == "fused":
-            assert self.packed_dev is not None and len(self.packed_dev) == 4
+            assert self.packed_dev is not None and len(self.packed_dev) >= 4
             return render_ops.render_bvh_fused(
                 self.ds, self.packed_dev, cam, width, height,
                 bounces=cfg.bounces, leaf_size=self.leaf_size,
@@ -325,6 +330,37 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
             jnp.asarray(packed.tri),
             jnp.asarray(attr),
         )
+        # MXU leaf path: upload the leaf C-matrices as ONE interleaved
+        # [hi(16) | lo(16)] bf16 table (the kernels take the three
+        # significant cross products of the hi/lo split at the MXU's
+        # native bf16 rate — f32-grade accuracy at ~1.6x the VPU leaf).
+        # Only the dual-pop non-streamed kernels consume it. Mosaic pads
+        # the 32-lane minor dim to 128, so the table's true VMEM cost is
+        # rows*128*2 bytes; gate on the whole scene block fitting VMEM
+        # (the padded table dominates: ~8 KB per 8-triangle leaf group).
+        mxu_ok = (
+            cfg.mxu_leaf
+            and cfg.dual_pop
+            and cfg.bvh_width >= 4
+            and leaf_size == 8
+            and not stream
+            and packed.cmat is not None
+        )
+        if mxu_ok:
+            cmat_vmem = packed.cmat.shape[0] * 128 * 2
+            scene_vmem = (
+                packed.cbox.nbytes + packed.cmeta.nbytes
+                + packed.tri.nbytes + attr.nbytes
+            )
+            if cmat_vmem + scene_vmem > _MXU_VMEM_BUDGET:
+                mxu_ok = False
+        if mxu_ok:
+            cm = jnp.asarray(packed.cmat)
+            cmh = cm.astype(jnp.bfloat16)
+            cml = (cm - cmh.astype(jnp.float32)).astype(jnp.bfloat16)
+            packed_dev = packed_dev + (
+                jnp.concatenate([cmh, cml], axis=1),
+            )
 
     return Pipeline(
         cfg=cfg,

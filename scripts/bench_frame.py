@@ -58,13 +58,15 @@ def main():
     ap.add_argument("--true-sah", action="store_true")
     ap.add_argument("--scene", default="car_boxed")
     ap.add_argument("--modes", default="pass,fused")
+    ap.add_argument("--mxu", action=argparse.BooleanOptionalAction,
+                    default=True, help="MXU leaf evaluation")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     cfg = RenderConfig(
         width=W, height=H, scene=args.scene, bounces=args.bounces,
         bvh_heuristic=6, tile_rows=32, tile_cols=32,
-        presplit=args.presplit, true_sah=args.true_sah,
+        presplit=args.presplit, true_sah=args.true_sah, mxu_leaf=args.mxu,
     )
     pipe = pipeline.prepare(cfg)
     leaf = pipe.leaf_size
@@ -79,6 +81,7 @@ def main():
     report = {
         "scene": args.scene, "bounces": args.bounces,
         "presplit": args.presplit, "true_sah": args.true_sah,
+        "mxu": len(packed) >= 5,
         "n_tris": pipe.scene.num_triangles,
     }
 
@@ -116,8 +119,9 @@ def main():
                 o2 = o.reshape(R // 128, 128)
                 d2 = d.reshape(R // 128, 128)
                 col = pallas_trace.frame_tiles(
-                    *packed, lamb, o2, d2, bounces=args.bounces,
+                    *packed[:4], lamb, o2, d2, bounces=args.bounces,
                     leaf_size=leaf, stack_depth=sdepth,
+                    cmat=packed[4] if len(packed) >= 5 else None,
                 )
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
@@ -130,6 +134,7 @@ def main():
         f"b{args.bounces}"
         + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
         + ("_tsah" if args.true_sah else "")
+        + ("_mxu" if len(packed) >= 5 else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")
     )
     out = os.path.join(

@@ -141,6 +141,8 @@ def main():
     ap.add_argument("--leaf-size", type=int, default=None)
     ap.add_argument("--leaf-threshold", type=int, default=8)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--mxu", action="store_true",
+                    help="MXU leaf evaluation (needs --dual, width >= 4)")
     ap.add_argument("--presplit", type=float, default=0.0,
                     help="pre-split ratio (e.g. 0.0625 = 1/16)")
     ap.add_argument("--tag", default=None)
@@ -157,7 +159,8 @@ def main():
     packed = pipe.packed_dev
     leaf = pipe.leaf_size
     sdepth = pipe.pallas_stack_depth
-    cbox, cmeta, tri, attr = packed
+    cbox, cmeta, tri, attr = packed[:4]
+    cmat = packed[4] if (len(packed) >= 5 and args.mxu) else None
 
     # The HitFull tracer for shadow-ray generation is the f32 one from
     # bounce_ray_sets (a bf16 run only compiles the kernels under test).
@@ -168,6 +171,7 @@ def main():
         "presplit": args.presplit,
         "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
         "bf16": bool(args.bf16), "leaf_threshold": args.leaf_threshold,
+        "mxu": cmat is not None,
     }
     dual = bool(args.dual)
     comp = pipe.compressed
@@ -183,7 +187,7 @@ def main():
                 h = pallas_trace.closest_tiles(
                     cbox, cmeta, tri, Vec3(ox, _o2.y, _o2.z), _d2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
-                    compressed=comp,
+                    compressed=comp, cmat=cmat,
                 )
                 return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
@@ -203,7 +207,7 @@ def main():
                 blocked = pallas_trace.occluded_tiles(
                     cbox, cmeta, tri, Vec3(px, _so2.y, _so2.z), _sd2, _sm2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
-                    compressed=comp,
+                    compressed=comp, cmat=cmat,
                 )
                 return px + blocked.astype(jnp.float32) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -217,6 +221,7 @@ def main():
         + ("_tsah" if args.true_sah else "")
         + (f"_L{pipe.leaf_size}" if args.leaf_size else "")
         + ("_bf16" if args.bf16 else "")
+        + ("_mxu" if args.mxu else "")
         + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
         + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
     )

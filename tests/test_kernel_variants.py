@@ -212,3 +212,119 @@ class TestStreamingKernels:
         )
         pipe = pipeline.prepare(cfg, scene=tiny_scene)
         assert not pipe.stream  # tiny scene fits VMEM comfortably
+
+
+def _interleave_cmat(cmat):
+    """Mirror pipeline.prepare's upload: one [hi(16) | lo(16)] bf16 table."""
+    cm = jnp.asarray(cmat)
+    cmh = cm.astype(jnp.bfloat16)
+    cml = (cm - cmh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([cmh, cml], axis=1)
+
+
+class TestMXULeaf:
+    """MXU leaf evaluation (bf16x3 C@R matmuls) vs the VPU scalar leaf.
+
+    bf16x3 carries ~2e-5 relative t error, so hits can flip only on
+    shared-edge ties; t must agree tightly and idx on all but a tiny
+    fraction of rays. Occlusion booleans must match except at the same
+    measure-zero boundaries.
+    """
+
+    def test_closest_matches_vpu(self, packed_scene, rays):
+        flat, tv = packed_scene
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        sd = pallas_trace.required_stack_depth(flat.depth, 4)
+        o, d = rays
+        pd = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri),
+        )
+        c_vpu, o_vpu = pallas_trace.make_tracer(
+            pd, 8, interpret=True, stack_depth=sd, dual=True
+        )
+        # make_tracer's 5-tuple form is (cbox, cmeta, tri, attr, cmi)
+        sc = synthetic_scene(2000, seed=3)
+        attr = pallas_trace.pack_attr(
+            flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+        )
+        pd_m = pd + (jnp.asarray(attr), _interleave_cmat(packed.cmat))
+        c_mxu, o_mxu = pallas_trace.make_tracer(
+            pd_m, 8, interpret=True, stack_depth=sd, dual=True
+        )
+        h_v, h_m = c_vpu(o, d), c_mxu(o, d)
+        t_v, t_m = np.asarray(h_v.t), np.asarray(h_m.t)
+        miss_v, miss_m = t_v > 1e30, t_m > 1e30
+        assert (miss_v == miss_m).mean() > 0.999
+        both = ~miss_v & ~miss_m
+        idx_v = np.asarray(h_v.idx)
+        idx_m = np.asarray(h_m.idx)
+        assert (idx_v[both] == idx_m[both]).mean() > 0.99
+        same = both & (idx_v == idx_m)
+        rel = np.abs(t_v[same] - t_m[same]) / np.maximum(t_v[same], 1e-9)
+        # bf16x3 is ~2e-5 relative on typical hits; grazing hits (tiny
+        # det) amplify the numerator error, so the tail is looser.
+        assert rel.mean() < 2e-4
+        assert rel.max() < 2e-2
+
+        m2 = jnp.full(o.x.shape, 25.0, jnp.float32)
+        b_v = np.asarray(o_vpu(o, d, m2))
+        b_m = np.asarray(o_mxu(o, d, m2))
+        assert (b_v == b_m).mean() > 0.999
+
+    def test_attr_tracking_matches(self, packed_scene, rays):
+        flat, tv = packed_scene
+        sc = synthetic_scene(2000, seed=3)
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        attr = pallas_trace.pack_attr(
+            flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+        )
+        sd = pallas_trace.required_stack_depth(flat.depth, 4)
+        o, d = rays
+        pd = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri), jnp.asarray(attr),
+        )
+        c_vpu, _ = pallas_trace.make_tracer(
+            pd, 8, interpret=True, stack_depth=sd, dual=True
+        )
+        c_mxu, _ = pallas_trace.make_tracer(
+            pd + (_interleave_cmat(packed.cmat),), 8,
+            interpret=True, stack_depth=sd, dual=True,
+        )
+        h_v, h_m = c_vpu(o, d), c_mxu(o, d)
+        idx_v, idx_m = np.asarray(h_v.idx), np.asarray(h_m.idx)
+        same = idx_v == idx_m
+        assert same.mean() > 0.99
+        # Where the winner agrees, tracked attributes must agree exactly.
+        for f in ("n", "kd", "ks", "kr"):
+            for c in "xyz":
+                a_v = np.asarray(getattr(getattr(h_v, f), c))
+                a_m = np.asarray(getattr(getattr(h_m, f), c))
+                np.testing.assert_array_equal(a_v[same], a_m[same])
+
+    def test_non_dual_falls_back(self, packed_scene, rays):
+        """cmat with dual=False must silently use the VPU leaf (identical
+        results), not crash — sharded callers pass the full tuple."""
+        flat, tv = packed_scene
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        sd = pallas_trace.required_stack_depth(flat.depth, 4)
+        o, d = rays
+        pd3 = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri),
+        )
+        sc = synthetic_scene(2000, seed=3)
+        attr = pallas_trace.pack_attr(
+            flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+        )
+        pd5 = pd3[:3] + (jnp.asarray(attr), _interleave_cmat(packed.cmat))
+        c_ref, _ = pallas_trace.make_tracer(
+            pd3, 8, interpret=True, stack_depth=sd, dual=False
+        )
+        c_fb, _ = pallas_trace.make_tracer(
+            pd5, 8, interpret=True, stack_depth=sd, dual=False
+        )
+        h_r, h_f = c_ref(o, d), c_fb(o, d)
+        assert np.array_equal(np.asarray(h_r.t), np.asarray(h_f.t))
+        assert np.array_equal(np.asarray(h_r.idx), np.asarray(h_f.idx))
