@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16-compressed BVH boxes (conservative rounding)")
     p.add_argument("--bvh-width", type=int, default=4, choices=(2, 4, 8),
                    help="traversal node arity (4 = grandchildren-packed rows)")
+    p.add_argument("--pop-width", type=int, default=8, choices=(2, 4, 8),
+                   help="pending inner nodes visited per traversal "
+                        "iteration (wide-pop schedule; > 2 needs dual-pop "
+                        "and --bvh-width >= 4)")
     p.add_argument("--no-dual-pop", action="store_true",
                    help="single-pop traversal schedule (dual-pop is the "
                         "default: two inner nodes per iteration, one shared "
@@ -154,6 +158,7 @@ def config_from_args(args) -> RenderConfig:
         num_devices=args.devices,
         use_native=not args.no_native,
         dual_pop=not args.no_dual_pop,
+        pop_width=args.pop_width,
         presplit=args.presplit,
         stream=args.stream,
         true_sah=args.true_sah,

@@ -119,6 +119,16 @@ class RenderConfig:
     # measured -4% coherent to -18% on divergent bounce passes).
     dual_pop: bool = True
 
+    # Wide-pop width: pending inner nodes visited per loop iteration
+    # (2, 4, or 8; > 2 requires dual_pop and bvh_width >= 4). The visits
+    # share one slab evaluation and one lane reduction, and their loads
+    # pipeline against each other's vector work — measured 225/147/107 ns
+    # per node at widths 2/4/8 (scripts/microbench_inner.py). Partial pops
+    # pad with the NULL node (NaN boxes, pushes nothing). With mxu_leaf,
+    # widths > 2 also pop FOUR leaf groups per MXU visit (one triple-dot,
+    # M = 128).
+    pop_width: int = 8
+
     # Evaluate leaf Möller-Trumbore on the MXU: each leaf group carries a
     # (32, 16) C-matrix of the four per-(ray, triangle) linear quantities
     # and a visit is one (32,16)@(16,1024) matmul (bf16x3 operand split

@@ -58,7 +58,7 @@ TRI_STRIDE = 12                      # floats per triangle in a group row
 STACK_DEPTH = 96
 
 
-def required_stack_depth(tree_depth: int, arity: int) -> int:
+def required_stack_depth(tree_depth: int, arity: int, npop: int = 2) -> int:
     """SMEM stack words guaranteed to hold the worst-case traversal.
 
     An arity-a kernel pops 1 entry and pushes <= a per inner visit, so the
@@ -68,9 +68,19 @@ def required_stack_depth(tree_depth: int, arity: int) -> int:
     (Fixes the unguarded fixed-96 stack flagged in ADVICE.md: deep trees
     from --max-depth 64 plus flatten_bvh's oversized-leaf subtrees could
     overflow and corrupt SMEM silently.)
+
+    The wide-pop schedule (npop > 2) keeps up to npop partial DFS
+    frontiers in flight, so the per-level growth multiplies by npop; the
+    +2 level slack covers the transient where a visit has popped npop
+    entries from one level and pushed npop*a of the next. SMEM words are
+    cheap (the chip holds >= 256 KB), so the bound is deliberately loose.
     """
-    levels = {2: 1, 4: 2, 8: 3}[arity]
-    packed_depth = max(1, -(-int(tree_depth) // levels))
+    lv = {2: 1, 4: 2, 8: 3}[arity]
+    packed_depth = max(1, -(-int(tree_depth) // lv))
+    if npop > 2:
+        return max(
+            STACK_DEPTH, npop * (arity - 1) * (packed_depth + 2) + npop + 2
+        )
     return max(STACK_DEPTH, (arity - 1) * packed_depth + 2)
 # Scene arrays (node rows + triangle groups) stay VMEM-resident across the
 # whole grid; the compiler's default scoped-vmem limit (16 MB) is far below
@@ -209,11 +219,19 @@ def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
     box tested vs the binary kernel (measured 31%/27% faster per pass at
     2-wide already; 4-wide continues the same trade).
 
-      - qbox  (Nq, 32) f32: child k's [min.xyz, max.xyz] at lanes [6k, 6k+6).
-      - qmeta (Nq, 8) i32: 4 child encodings (enc < 0: leaf group, enc >= 0:
-        quad node) then 4 validity flags. Absent children are masked by the
-        flag, NOT by an "inverted box": the ordered slab test turns an
-        inverted box into an unconstrained interval that always hits.
+      - qbox  (Nq+1, 32) f32: child k's [min.xyz, max.xyz] at lanes
+        [6k, 6k+6). Absent children hold NaN boxes: every slab plane
+        distance is NaN, all comparisons are false, so the child can never
+        be pushed — robust regardless of the hardware's NaN min/max
+        propagation because BOTH planes of every axis are NaN. (An
+        "inverted box" would NOT work: the ordered slab test turns it into
+        an unconstrained always-hit interval.) The extra LAST row is the
+        NULL node — all children NaN — which the wide-pop kernels use to
+        pad partial pops (visiting it pushes nothing).
+      - qmeta (Nq+1, 8) i32: 4 child encodings (enc < 0: leaf group,
+        enc >= 0: quad node) then 4 validity flags. The flags are redundant
+        with the NaN boxes (kept for the single/dual-pop kernels, which
+        predate them and mask by flag).
       - tri rows identical to pack_bvh (leaf groups are unchanged).
     """
     L = flat.leaf_size
@@ -252,8 +270,9 @@ def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
             entries_of[i] = entries
 
     Nq = len(order)
-    qbox = np.zeros((Nq, 32), np.float32)
-    qmeta = np.zeros((Nq, 8), np.int32)
+    # +1: trailing NULL node (all-NaN children) for wide-pop pad visits.
+    qbox = np.full((Nq + 1, 32), np.nan, np.float32)
+    qmeta = np.zeros((Nq + 1, 8), np.int32)
     for row, i in enumerate(order):
         for k, (kind, j) in enumerate(entries_of[i]):
             qbox[row, 6 * k : 6 * k + 3] = nmn[j]
@@ -283,8 +302,10 @@ def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
     pack_bvh4 — BVH8 halves traversal iterations again at the cost of a
     larger scalar sorting network per visit).
 
-      - obox  (No, 64) f32: child k's [min.xyz, max.xyz] at lanes [6k, 6k+6).
-      - ometa (No, 16) i32: 8 child encodings then 8 validity flags.
+      - obox  (No+1, 64) f32: child k's [min.xyz, max.xyz] at lanes
+        [6k, 6k+6); absent children and the trailing NULL row hold NaN
+        boxes (see pack_bvh4).
+      - ometa (No+1, 16) i32: 8 child encodings then 8 validity flags.
     """
     L = flat.leaf_size
     count, a = flat.count, flat.a
@@ -324,8 +345,8 @@ def pack_bvh8(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packe
             entries_of[i] = entries
 
     No = len(order)
-    obox = np.zeros((No, 64), np.float32)
-    ometa = np.zeros((No, 16), np.int32)
+    obox = np.full((No + 1, 64), np.nan, np.float32)
+    ometa = np.zeros((No + 1, 16), np.int32)
     for row, i in enumerate(order):
         for k, (kind, j) in enumerate(entries_of[i]):
             obox[row, 6 * k : 6 * k + 3] = nmn[j]
@@ -397,9 +418,13 @@ def pack_box_bf16_pairs(box: np.ndarray, arity: int) -> np.ndarray:
             )
             assert ((mn_b & np.uint32(0xFFFF)) == 0).all()
             assert ((mx_b & np.uint32(0xFFFF)) == 0).all()
-            # Sanity: widened bf16 bounds still enclose the f32 box.
-            assert (mn_b.view(np.float32) <= mn).all()
-            assert (mx_b.view(np.float32) >= mx).all()
+            # Sanity: widened bf16 bounds still enclose the f32 box. NaN
+            # children (absent slots / the NULL row) are exempt — canonical
+            # f32 NaN truncates to bf16 NaN, preserving never-hits.
+            dead = np.isnan(mn) | np.isnan(mx)
+            assert (dead | (mn_b.view(np.float32) <= mn)).all()
+            assert (dead | (mx_b.view(np.float32) >= mx)).all()
+            assert np.isnan(mn_b.view(np.float32)[dead]).all()
             out[:, 3 * k + c] = mn_b | (mx_b >> np.uint32(16))
     return out.view(np.float32)
 
@@ -954,44 +979,6 @@ def _rmat_load(rsc, o: Vec3, d: Vec3):
     return _split_bf16(rsc[:, :])
 
 
-def _mxu_leaf_quants(cmi, Rh, Rl, g):
-    """(32, 1024) det/t/u/v numerators of leaf group g via 3 bf16 matmuls."""
-    crow = cmi[pl.ds(g * 32, 32), :]
-    Ch = crow[:, 0:16]
-    Cl = crow[:, 16:32]
-
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
-
-
-def _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2):
-    """(64, 1024) quantities of TWO leaf groups via one set of 3 matmuls.
-
-    Stacking both groups' C-matrices along sublanes costs the MXU nothing
-    extra (M <= 128 rides the same pass) and amortizes the dot's
-    fill/drain latency — the single-leaf visit measured barely faster
-    than the VPU leaf in-kernel because that latency cannot overlap the
-    surrounding traversal iteration. Rows [0:32] = g1, [32:64] = g2."""
-    crow = jnp.concatenate(
-        [cmi[pl.ds(g1 * 32, 32), :], cmi[pl.ds(g2 * 32, 32), :]], axis=0
-    )
-    Ch = crow[:, 0:16]
-    Cl = crow[:, 16:32]
-
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
-
-
 def _mxu_rows(outm):
     """Per ray row r: (t-candidates, det) as (8,128) vregs, sublane = tri."""
     for r in range(SUBLANES):
@@ -1042,28 +1029,6 @@ def _mxu_merge_winner(g, tnew, jnew, ndnew, t, idx, nd, L):
     return t, idx, nd, better
 
 
-def _mxu_leaf_closest(cmi, Rh, Rl, g, t, idx, nd, L):
-    """MXU closest-hit leaf update; returns (t, idx, nd, better, jnew)."""
-    outm = _mxu_leaf_quants(cmi, Rh, Rl, g)
-    tnew, jnew, ndnew = _mxu_winners(outm, L)
-    t, idx, nd, better = _mxu_merge_winner(g, tnew, jnew, ndnew, t, idx, nd, L)
-    return t, idx, nd, better, jnew
-
-
-def _mxu_leaf_closest2(cmi, Rh, Rl, g1, g2, t, idx, nd, L):
-    """Two-leaf MXU closest-hit update (one 3-dot set for both groups).
-
-    Merges sequentially (g1 = stack top first), so a duplicate pop
-    (g2 == g1, the lsp == 1 case) is idempotent under the strict-< merge.
-    Returns (t, idx, nd, (better1, jnew1, better2, jnew2))."""
-    outm = _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2)
-    t1, j1, n1 = _mxu_winners(outm[0:32, :], L)
-    t2, j2, n2 = _mxu_winners(outm[32:64, :], L)
-    t, idx, nd, b1 = _mxu_merge_winner(g1, t1, j1, n1, t, idx, nd, L)
-    t, idx, nd, b2 = _mxu_merge_winner(g2, t2, j2, n2, t, idx, nd, L)
-    return t, idx, nd, (b1, j1, b2, j2)
-
-
 def _mxu_attr_select(tri_row, arow, better, jnew, av, L):
     """Attribute-tracking selects driven by the MXU leaf's winner index."""
     for j in range(L):
@@ -1078,24 +1043,44 @@ def _mxu_attr_select(tri_row, arow, better, jnew, av, L):
     return av
 
 
-def _mxu_leaf_occluded(cmi, Rh, Rl, g, blocked, max_dist2):
-    """MXU any-hit leaf update (hit & closer than the light -> blocked)."""
-    outm = _mxu_leaf_quants(cmi, Rh, Rl, g)
-    return _mxu_occl_merge(outm, blocked, max_dist2)
-
-
-def _mxu_leaf_occluded2(cmi, Rh, Rl, g1, g2, blocked, max_dist2):
-    """Two-leaf MXU any-hit update (duplicate pops are idempotent)."""
-    outm = _mxu_leaf_quants2(cmi, Rh, Rl, g1, g2)
-    blocked = _mxu_occl_merge(outm[0:32, :], blocked, max_dist2)
-    return _mxu_occl_merge(outm[32:64, :], blocked, max_dist2)
-
-
 def _mxu_occl_merge(outm, blocked, max_dist2):
+    """Any-hit merge on the raw MT numerators — no division.
+
+    The closest path must divide (winner t values are compared across
+    triangles), but any-hit only needs booleans, and with D2 = det^2 > 0
+    every test becomes a polynomial comparison (multiplying an inequality
+    by det flips it exactly when det < 0, which det-scaling both sides
+    absorbs):
+        |det| >= EPS   <=>  D2 >= EPS^2
+        t > EPS        <=>  tnum*det >  EPS * D2
+        u >= 0         <=>  unum*det >= 0
+        v >= 0         <=>  vnum*det >= 0
+        u + v <= 1     <=>  unum*det + vnum*det <= D2
+        t^2 < m2       <=>  tnum^2 < m2 * D2
+    Dead lanes (o ~ 1e30) overflow tnum^2 to +inf, which fails the last
+    test, so they can never block. Saves the reciprocal + three
+    normalizing multiplies per 8-triangle row block (~25% of the
+    occluded leaf's VPU post-processing)."""
+    eps = jnp.float32(EPSILON)
     rows = []
-    for r, (tcand, _det) in enumerate(_mxu_rows(outm)):
+    for r in range(SUBLANES):
+        blk = outm[:, r * LANES : (r + 1) * LANES]
+        det = blk[0:8, :]
+        tnum = blk[8:16, :]
+        unum = blk[16:24, :]
+        vnum = blk[24:32, :]
+        d2 = det * det
+        pu = unum * det
+        pv = vnum * det
         m2r = max_dist2[r : r + 1, :]                          # (1,128)
-        hitrow = (tcand < T_MAX) & (tcand * tcand < m2r)
+        hitrow = (
+            (d2 >= eps * eps)
+            & (tnum * det > eps * d2)
+            & (pu >= 0.0)
+            & (pv >= 0.0)
+            & (pu + pv <= d2)
+            & (tnum * tnum < m2r * d2)
+        )
         rows.append(jnp.max(hitrow.astype(jnp.int32), axis=0, keepdims=True))
     return jnp.maximum(blocked, jnp.concatenate(rows, axis=0))
 
@@ -1152,26 +1137,132 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     return isp, lsp
 
 
+def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                      npop: int, arity: int, compressed: bool = False):
+    """Visit the top `npop` pending inner nodes in one iteration.
+
+    The wide-pop schedule: npop independent node visits share one
+    (npop*arity*8, 128) slab evaluation and ONE lane-direction reduction,
+    and their loads/extracts pipeline against each other's vector work —
+    measured 147 ns/node at npop=4 and 107 ns/node at npop=8 versus
+    225 ns/node for the dual-pop visit (scripts/microbench_inner.py).
+    Partial pops are padded with the NULL node (last row, all-NaN boxes:
+    every slab comparison is false, nothing is pushed), so there is no
+    validity masking and no scalar branching on the pending count.
+    """
+    null_node = jnp.int32(qbox.shape[0] - 1)
+    isp0 = isp
+    loaded = []
+    for i in range(npop):
+        slot = jnp.maximum(isp0 - 1 - i, 0)
+        e = jnp.where(i < isp0, istack[slot], null_node)
+        mn, mx = _load_node_row(qbox, e, compressed)
+        m = qmeta[pl.ds(e, 1), :]
+        loaded.append((mn, mx, m))
+    isp = jnp.maximum(isp0 - npop, 0)
+    vs = []
+    for mn, mx, _m in loaded:
+        for k in range(arity):
+            lo, hi = _child_extract(mn, mx, k, compressed)
+            vs.append(_slab_masked(lo, hi, oi, inv, t_cut))
+    both = jnp.concatenate(vs, axis=0)          # (npop*arity*8, 128)
+    red = jnp.min(both, axis=1)                 # ONE shared lane reduction
+    # Push far-to-near overall: the deepest-padded pop (furthest pending)
+    # first, each node's children far-to-near, so pop i=0's nearest child
+    # ends on top of the stack.
+    for n in reversed(range(npop)):
+        m = loaded[n][2]
+        base = arity * n
+        ms = [
+            jnp.min(red[SUBLANES * (base + k) : SUBLANES * (base + k + 1)])
+            for k in range(arity)
+        ]
+        es = [m[0, k] for k in range(arity)]
+        ms, es = _sortn(ms, es)
+        for k in reversed(range(arity)):
+            ok = ms[k] < T_MAX
+            leafc = es[k] < 0
+            istack[isp] = es[k]
+            isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+            lstack[lsp] = es[k]
+            lsp = lsp + (ok & leafc).astype(jnp.int32)
+    return isp, lsp
+
+
+def _leaf_pops(lstack, lsp, nleaf: int):
+    """Pop up to `nleaf` pending leaf groups; short pops repeat the last
+    group (idempotent under the strict-< closest merge and the max-combine
+    occluded merge)."""
+    gs = []
+    for i in range(nleaf):
+        slot = jnp.maximum(lsp - 1 - i, 0)
+        gs.append(-lstack[slot] - 1)
+    return gs, jnp.maximum(lsp - nleaf, 0)
+
+
+def _mxu_leaf_quants_n(cmi, Rh, Rl, gs):
+    """(32*len(gs), 1024) MT quantities of several leaf groups via ONE
+    triple-dot (M = 32*n <= 128 rides a single MXU pass)."""
+    crow = jnp.concatenate(
+        [cmi[pl.ds(g * 32, 32), :] for g in gs], axis=0
+    )
+    Ch = crow[:, 0:16]
+    Cl = crow[:, 16:32]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
+
+
+def _mxu_leaf_closest_n(cmi, Rh, Rl, gs, t, idx, nd, L):
+    """n-group MXU closest-hit update; sequential strict-< merges keep
+    duplicate (padded) pops idempotent. Returns (t, idx, nd, selects)
+    with selects = [(g, better, jnew)] for the attribute pass."""
+    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs)
+    selects = []
+    for n, g in enumerate(gs):
+        tn, jn, ndn = _mxu_winners(outm[32 * n : 32 * (n + 1), :], L)
+        t, idx, nd, better = _mxu_merge_winner(g, tn, jn, ndn, t, idx, nd, L)
+        selects.append((g, better, jn))
+    return t, idx, nd, selects
+
+
+def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2):
+    """n-group MXU any-hit update (duplicate pops are idempotent)."""
+    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs)
+    for n in range(len(gs)):
+        blocked = _mxu_occl_merge(outm[32 * n : 32 * (n + 1), :],
+                                  blocked, max_dist2)
+    return blocked
+
+
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
-                      counters: bool = False, mxu=None):
-    """Full dual-pop closest-hit traversal; returns (t, idx, nd, av).
+                      counters: bool = False, mxu=None, npop: int = 2,
+                      nleaf: int = 2):
+    """Full multi-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
     kernel (which runs it once per bounce, reusing the same stacks).
-    counters=True appends (inner_iters, leaf_visits, single_pending_iters)
-    scalars to the return tuple (see _run_occluded_dual). mxu, when given,
-    is (Rh, Rl, cmi) and switches leaf evaluation to the MXU path."""
+    counters=True appends (inner_iters, leaf_visits, pad_slots) scalars to
+    the return tuple (see _run_occluded_dual). mxu, when given, is
+    (Rh, Rl, cmi) and switches leaf evaluation to the MXU path. npop > 2
+    selects the wide-pop inner visit (NULL-padded); nleaf > 2 pops that
+    many leaf groups per MXU leaf visit (duplicate-padded)."""
     istack[0] = jnp.int32(0)
 
-    def leaf2(g1, g2, t, idx, nd, av):
-        """Two leaf groups per visit on the MXU (see _mxu_leaf_quants2)."""
+    def leafn(gs, t, idx, nd, av):
+        """nleaf groups per visit on the MXU (one triple-dot for all)."""
         Rh, Rl, cmi = mxu
-        t, idx, nd, (b1, j1, b2, j2) = _mxu_leaf_closest2(
-            cmi, Rh, Rl, g1, g2, t, idx, nd, L
+        t, idx, nd, selects = _mxu_leaf_closest_n(
+            cmi, Rh, Rl, gs, t, idx, nd, L
         )
         if n_attr:
-            for g, better, jnew in ((g1, b1, j1), (g2, b2, j2)):
+            for g, better, jnew in selects:
                 tri_row = tri[pl.ds(g, 1), :].astype(jnp.float32)
                 arow = attr[pl.ds(g, 1), :].astype(jnp.float32)
                 av = _mxu_attr_select(tri_row, arow, better, jnew, av, L)
@@ -1202,12 +1293,10 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             isp, lsp, t, idx, nd, av = args[:6]
             cnt = args[6:]
             if mxu is not None:
-                # Pop two groups per visit (duplicate pop when only one
-                # is pending — idempotent under the strict-< merge).
-                g1 = -lstack[lsp - 1] - 1
-                lsp = jnp.maximum(lsp - 2, 0)
-                g2 = -lstack[lsp] - 1
-                t, idx, nd, av = leaf2(g1, g2, t, idx, nd, av)
+                # Pop nleaf groups per visit (duplicate pops when fewer
+                # are pending — idempotent under the strict-< merge).
+                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                t, idx, nd, av = leafn(gs, t, idx, nd, av)
             else:
                 lsp = lsp - 1
                 g = -lstack[lsp] - 1
@@ -1220,14 +1309,21 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             isp, lsp, t, idx, nd, av = args[:6]
             cnt = args[6:]
             if counters:
-                cnt = (
-                    cnt[0] + 1, cnt[1],
-                    cnt[2] + (isp < 2).astype(jnp.int32),
+                pad = (
+                    jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
+                    else (isp < 2).astype(jnp.int32)
                 )
-            isp, lsp = _dual_inner_visit(
-                qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
-                compressed,
-            )
+                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+            if npop > 2:
+                isp, lsp = _wide_inner_visit(
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                    npop, arity, compressed,
+                )
+            else:
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
             return (isp, lsp, t, idx, nd, av) + cnt
 
         return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
@@ -1252,14 +1348,15 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
-                       counters: bool = False, mxu=None):
-    """Full dual-pop any-hit traversal; returns blocked (i32 lanes).
+                       counters: bool = False, mxu=None, npop: int = 2,
+                       nleaf: int = 2):
+    """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_visits,
-    single_pending_iters) scalars — debug instrumentation for visit
-    accounting (scripts/profile_visits.py); keeps the production path
-    free of the extra scalar adds. mxu, when given, is (Rh, Rl, cmi)
-    and switches leaf evaluation to the MXU path.
+    pad_slots) scalars — debug instrumentation for visit accounting
+    (scripts/profile_visits.py); keeps the production path free of the
+    extra scalar adds. mxu, when given, is (Rh, Rl, cmi) and switches
+    leaf evaluation to the MXU path. npop/nleaf as in _run_closest_dual.
     """
     t_limit = jnp.sqrt(max_dist2)
     istack[0] = jnp.int32(0)
@@ -1273,11 +1370,9 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             cnt = args[4:]
             if mxu is not None:
                 Rh, Rl, cmi = mxu
-                g1 = -lstack[lsp - 1] - 1
-                lsp = jnp.maximum(lsp - 2, 0)
-                g2 = -lstack[lsp] - 1
-                blocked = _mxu_leaf_occluded2(
-                    cmi, Rh, Rl, g1, g2, blocked, max_dist2
+                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                blocked = _mxu_leaf_occluded_n(
+                    cmi, Rh, Rl, gs, blocked, max_dist2
                 )
             else:
                 lsp = lsp - 1
@@ -1296,15 +1391,22 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             isp, lsp, blocked, all_blocked = args[:4]
             cnt = args[4:]
             if counters:
-                cnt = (
-                    cnt[0] + 1, cnt[1],
-                    cnt[2] + (isp < 2).astype(jnp.int32),
+                pad = (
+                    jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
+                    else (isp < 2).astype(jnp.int32)
                 )
+                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
             t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-            isp, lsp = _dual_inner_visit(
-                qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                arity, compressed,
-            )
+            if npop > 2:
+                isp, lsp = _wide_inner_visit(
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                    npop, arity, compressed,
+                )
+            else:
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
             return (isp, lsp, blocked, all_blocked) + cnt
 
         return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
@@ -1325,11 +1427,12 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False, counters: bool = False,
-                         mxu: bool = False):
-    """Dual-pop closest hit; with n_attr=12 also tracks surface attributes.
+                         mxu: bool = False, npop: int = 2, nleaf: int = 2):
+    """Multi-pop closest hit; with n_attr=12 also tracks surface attributes.
 
     mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
-    VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest)."""
+    VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest_n).
+    npop/nleaf select the wide-pop schedule (_wide_inner_visit)."""
 
     def kernel(*refs):
         nc = 1 if counters else 0
@@ -1358,6 +1461,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
+            npop=npop, nleaf=nleaf,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1377,7 +1481,8 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 
 
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
-                          counters: bool = False, mxu: bool = False):
+                          counters: bool = False, mxu: bool = False,
+                          npop: int = 2, nleaf: int = 2):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
@@ -1397,6 +1502,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
+            npop=npop, nleaf=nleaf,
         )
         if counters:
             blocked, cnt = res
@@ -1843,7 +1949,8 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 
 
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
-                        compressed: bool = False, mxu: bool = False):
+                        compressed: bool = False, mxu: bool = False,
+                        npop: int = 2, nleaf: int = 2):
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
@@ -1891,7 +1998,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             mxu_c = (*_rmat_load(rsc, o, d), cmi) if mxu else None
             t, _, nd, av = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
-                L, arity, 12, compressed, mxu=mxu_c,
+                L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
             )
             is_hit = t < jnp.float32(T_MAX)
             # miss: final += multiplier * ambient, lane dies
@@ -1951,6 +2058,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                 blocked = _run_occluded_dual(
                     qbox, qmeta, tri, so, sd, sinv, soi, mag2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
+                    npop=npop, nleaf=nleaf,
                 )
                 vis = (
                     jnp.logical_not(backface).astype(jnp.float32)
@@ -1989,12 +2097,13 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
+        "npop",
     ),
 )
 def frame_tiles(
     cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
-    compressed: bool = False, cmat=None,
+    compressed: bool = False, cmat=None, npop: int = 2,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2009,8 +2118,10 @@ def frame_tiles(
     assert arity >= 4, "fused frame kernel needs bvh_width >= 4"
     num_lights = int(lamb.shape[0]) - 1
     mxu = cmat is not None and arity >= 4 and leaf_size == SUBLANES
+    assert npop in (2, 4, 8)
     kernel = _frame_fused_kernel(
-        leaf_size, arity, bounces, num_lights, compressed, mxu=mxu
+        leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
+        npop=npop, nleaf=4 if (mxu and npop > 2) else 2,
     )
     extra_in = [cmat] if mxu else []
     extra_specs = _MXU_SPECS if mxu else []
@@ -2090,14 +2201,14 @@ def _stream_scratch(n_rings: int):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters",
+        "stream", "counters", "npop", "nleaf",
     ),
 )
 def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
-    cmat=None,
+    cmat=None, npop: int = 2, nleaf: int = 0,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2117,6 +2228,9 @@ def closest_tiles(
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
     assert not (counters and not (dual and arity >= 4)), \
         "counters need the dual-pop kernels"
+    assert npop in (2, 4, 8) and (
+        npop == 2 or (dual and arity >= 4 and not stream)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
     # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
@@ -2136,7 +2250,7 @@ def closest_tiles(
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
-            mxu=mxu,
+            mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
         if mxu:
@@ -2173,14 +2287,14 @@ def closest_tiles(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream",
+        "stream", "npop", "nleaf",
     ),
 )
 def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
-    cmat=None,
+    cmat=None, npop: int = 2, nleaf: int = 0,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -2198,6 +2312,9 @@ def closest_tiles_full(
     )
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
+    assert npop in (2, 4, 8) and (
+        npop == 2 or (dual and arity >= 4 and not stream)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
     # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
     # non-streamed); ineligible calls fall back to the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
@@ -2216,7 +2333,8 @@ def closest_tiles_full(
         )
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
-            leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu
+            leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
+            npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
         if mxu:
@@ -2253,14 +2371,14 @@ def closest_tiles_full(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters",
+        "stream", "counters", "npop", "nleaf",
     ),
 )
 def occluded_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, max_dist2, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
-    counters: bool = False, cmat=None,
+    counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2274,6 +2392,9 @@ def occluded_tiles(
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
     assert not (counters and not (dual and arity >= 4)), \
         "counters need the dual-pop kernels"
+    assert npop in (2, 4, 8) and (
+        npop == 2 or (dual and arity >= 4 and not stream)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
@@ -2294,7 +2415,7 @@ def occluded_tiles(
     elif dual and arity >= 4:
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
-            mxu=mxu,
+            mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
         )
         scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
         if mxu:
@@ -2327,7 +2448,8 @@ def occluded_tiles(
 
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 stack_depth: int = STACK_DEPTH, dual: bool = False,
-                compressed: bool = False, stream: bool = False):
+                compressed: bool = False, stream: bool = False,
+                npop: int = 2):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
     packed_dev: (cbox, cmeta, tri[, attr][, cmi]) device arrays from a
@@ -2358,7 +2480,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, dual=dual, compressed=compressed,
-                stream=stream, cmat=cmat,
+                stream=stream, cmat=cmat, npop=npop,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -2370,6 +2492,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
+            npop=npop,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -2385,6 +2508,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
+            npop=npop,
         )
         return blocked.reshape(R)
 

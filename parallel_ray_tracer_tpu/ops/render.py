@@ -233,7 +233,7 @@ def render_bvh_jax(
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
         "interpret", "fast_light", "stack_depth", "compressed", "dual",
-        "stream",
+        "stream", "npop",
     ),
 )
 def _render_bvh_pallas(
@@ -253,6 +253,7 @@ def _render_bvh_pallas(
     compressed: bool = False,
     dual: bool = True,
     stream: bool = False,
+    npop: int = 2,
 ):
     from . import pallas_trace
 
@@ -262,7 +263,7 @@ def _render_bvh_pallas(
     closest_fn, occluded_fn = pallas_trace.make_tracer(
         packed_dev, leaf_size, interpret=interpret, ds=ds,
         stack_depth=stack_depth, compressed=compressed, dual=dual,
-        stream=stream,
+        stream=stream, npop=npop,
     )
     if not fast_light:
         occluded_fn = occluded_from_closest(closest_fn)
@@ -286,6 +287,7 @@ def _render_bvh_fused(
     stack_depth: int = 96,
     y_offset=0,
     compressed: bool = False,
+    npop: int = 2,
 ):
     from . import pallas_trace
 
@@ -299,7 +301,7 @@ def _render_bvh_fused(
     col = pallas_trace.frame_tiles(
         *packed_dev[:4], lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
-        cmat=packed_dev[4] if len(packed_dev) >= 5 else None,
+        cmat=packed_dev[4] if len(packed_dev) >= 5 else None, npop=npop,
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -319,6 +321,7 @@ def render_bvh_fused(
     interpret: bool = False,
     stack_depth: int = 96,
     compressed: bool = False,
+    npop: int = 2,
 ):
     """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
     entire bounce loop in ONE kernel launch per packet — no inter-pass
@@ -335,7 +338,7 @@ def render_bvh_fused(
     return _render_bvh_fused(
         ds, packed_dev, cam_arrays, width, height, bounces, leaf_size,
         tile_rows, tile_cols, interpret, stack_depth,
-        compressed=compressed,
+        compressed=compressed, npop=npop,
     )
 
 
@@ -355,6 +358,7 @@ def render_bvh_pallas(
     compressed: bool = False,
     dual: bool = True,
     stream: bool = False,
+    npop: int = 2,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -370,4 +374,5 @@ def render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
         stack_depth, compressed=compressed, dual=dual, stream=stream,
+        npop=npop,
     )

@@ -50,6 +50,7 @@ class Pipeline:
     pallas_stack_depth: int = 96          # worst-case SMEM stack words
     compressed: bool = False              # bf16-pair box rows (pallas)
     stream: bool = False                  # HBM-streamed leaf rows (pallas)
+    npop: int = 2                         # wide-pop width actually in effect
 
     def bvh_metrics_banner(self) -> Optional[str]:
         """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
@@ -103,7 +104,7 @@ class Pipeline:
                 bounces=cfg.bounces, leaf_size=self.leaf_size,
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 interpret=interpret, stack_depth=self.pallas_stack_depth,
-                compressed=self.compressed,
+                compressed=self.compressed, npop=self.npop,
             )
         if variant == "pallas":
             assert self.packed_dev is not None
@@ -114,7 +115,7 @@ class Pipeline:
                 interpret=interpret, fast_light=cfg.fast_light,
                 stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, dual=cfg.dual_pop,
-                stream=self.stream,
+                stream=self.stream, npop=self.npop,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -160,7 +161,7 @@ class Pipeline:
                 cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,
                 interpret, cfg.fast_light, self.pallas_stack_depth,
                 y_offset=y0, compressed=self.compressed, dual=cfg.dual_pop,
-                stream=self.stream,
+                stream=self.stream, npop=self.npop,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -312,9 +313,14 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         )
 
     pallas_stack_depth = 96
+    npop = 2
     if cfg.use_bvh:
+        # Wide-pop needs the dual-pop kernels (width >= 4, non-streamed).
+        npop = cfg.pop_width if (
+            cfg.dual_pop and cfg.bvh_width >= 4 and not stream
+        ) else 2
         pallas_stack_depth = pallas_trace.required_stack_depth(
-            flat.depth, {2: 2, 4: 4, 8: 8}[cfg.bvh_width]
+            flat.depth, {2: 2, 4: 4, 8: 8}[cfg.bvh_width], npop=npop
         )
         dbvh, _, stack_depth = trace_bvh.device_bvh_from_flat(
             flat, bf16=cfg.bf16_bvh
@@ -377,6 +383,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         pallas_stack_depth=pallas_stack_depth,
         compressed=bool(packed is not None and getattr(packed, "compressed", False)),
         stream=stream,
+        npop=npop,
     )
 
 

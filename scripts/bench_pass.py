@@ -145,6 +145,10 @@ def main():
                     help="MXU leaf evaluation (needs --dual, width >= 4)")
     ap.add_argument("--presplit", type=float, default=0.0,
                     help="pre-split ratio (e.g. 0.0625 = 1/16)")
+    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8),
+                    help="wide-pop width (inner nodes per visit)")
+    ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4),
+                    help="leaf groups per MXU leaf visit (0 = auto)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -159,6 +163,10 @@ def main():
     packed = pipe.packed_dev
     leaf = pipe.leaf_size
     sdepth = pipe.pallas_stack_depth
+    if args.pop > 2:
+        sdepth = pallas_trace.required_stack_depth(
+            pipe.flat.depth, args.width, npop=args.pop
+        )
     cbox, cmeta, tri, attr = packed[:4]
     cmat = packed[4] if (len(packed) >= 5 and args.mxu) else None
 
@@ -167,6 +175,7 @@ def main():
     sets, ds, closest_fn = bounce_ray_sets(pipe, args.bounces)
 
     results = {
+        "pop": args.pop,
         "bvh_width": args.width, "dual": bool(args.dual),
         "presplit": args.presplit,
         "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
@@ -187,7 +196,8 @@ def main():
                 h = pallas_trace.closest_tiles(
                     cbox, cmeta, tri, Vec3(ox, _o2.y, _o2.z), _d2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
-                    compressed=comp, cmat=cmat,
+                    compressed=comp, cmat=cmat, npop=args.pop,
+                    nleaf=args.nleaf,
                 )
                 return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
@@ -207,7 +217,8 @@ def main():
                 blocked = pallas_trace.occluded_tiles(
                     cbox, cmeta, tri, Vec3(px, _so2.y, _so2.z), _sd2, _sm2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
-                    compressed=comp, cmat=cmat,
+                    compressed=comp, cmat=cmat, npop=args.pop,
+                    nleaf=args.nleaf,
                 )
                 return px + blocked.astype(jnp.float32) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -224,6 +235,8 @@ def main():
         + ("_mxu" if args.mxu else "")
         + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
         + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
+        + (f"_pop{args.pop}" if args.pop != 2 else "")
+        + (f"_nl{args.nleaf}" if args.nleaf else "")
     )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -55,14 +55,22 @@ def stats(cnt: np.ndarray) -> dict:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8))
+    ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4))
+    args = ap.parse_args()
     cfg = RenderConfig(
         width=W, height=H, scene="car_boxed", bvh_heuristic=6,
         tile_rows=32, tile_cols=32,
     )
     pipe = pipeline.prepare(cfg)
-    cbox, cmeta, tri, attr = pipe.packed_dev
+    cbox, cmeta, tri, attr = pipe.packed_dev[:4]
+    cmat = pipe.packed_dev[4] if len(pipe.packed_dev) >= 5 else None
     leaf = pipe.leaf_size
-    sdepth = pipe.pallas_stack_depth
+    sdepth = pallas_trace.required_stack_depth(
+        pipe.flat.depth, 4, npop=args.pop
+    )
 
     sets, ds, closest_fn = bounce_ray_sets(pipe, 2)
     report = {"scene": "car_boxed", "true_sah": cfg.true_sah}
@@ -77,7 +85,8 @@ def main():
 
         _, cnt = pallas_trace.closest_tiles(
             cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
-            dual=True, counters=True,
+            dual=True, counters=True, npop=args.pop, nleaf=args.nleaf,
+            cmat=cmat,
         )
         report[f"closest_b{b}"] = stats(np.asarray(cnt))
         print(f"closest_b{b}", report[f"closest_b{b}"], flush=True)
@@ -88,13 +97,15 @@ def main():
         _, ocnt = pallas_trace.occluded_tiles(
             cbox, cmeta, tri, so2, sd2, sm2.reshape(rows, 128),
             leaf_size=leaf, stack_depth=sdepth, dual=True, counters=True,
+            npop=args.pop, nleaf=args.nleaf, cmat=cmat,
         )
         report[f"occluded_b{b}"] = stats(np.asarray(ocnt))
         print(f"occluded_b{b}", report[f"occluded_b{b}"], flush=True)
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "metrics", "profile_visits.json",
+        "metrics", "profile_visits.json" if args.pop == 2
+        else f"profile_visits_pop{args.pop}.json",
     )
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
