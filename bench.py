@@ -91,17 +91,27 @@ def main() -> None:
     if on_tpu:
         packed, leaf = pipe.packed_dev, pipe.leaf_size
         sdepth = pipe.pallas_stack_depth
+        lamb = pallas_trace.pack_lights(ds)
 
+        # The production frame formulation: the fused whole-frame kernel
+        # (entire bounce loop in one Pallas launch per packet), wide-pop
+        # npop=8 on the divergent bounces, npop0=2 on the coherent
+        # primary bounce, MXU leaf evaluation.
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain_frame(eps0, k: int):
             def body(i, eps):
                 o, d = generate_rays_tiled(
                     (origin + eps, dir00, inc_x, inc_y), width, height, 32, 32
                 )
-                closest_fn, occluded_fn = pallas_trace.make_tracer(
-                    packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
+                R = o.x.shape[0]
+                o2 = o.reshape(R // 128, 128)
+                d2 = d.reshape(R // 128, 128)
+                col = pallas_trace.frame_tiles(
+                    *packed[:4], lamb, o2, d2, bounces=bounces,
+                    leaf_size=leaf, stack_depth=sdepth,
+                    cmat=packed[4] if len(packed) >= 5 else None,
+                    npop=pipe.npop, npop0=pipe.npop0,
                 )
-                col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
                 return eps + jnp.sum(col.x) * 1e-18
 
             return jax.lax.fori_loop(0, k, body, eps0)

@@ -147,8 +147,10 @@ def build_bvh_native(
 
         cbox = np.empty((ni, 16), np.float32)
         cmeta = np.empty((ni, 8), np.int32)
-        tri = np.empty((ng, LANES), np.float32)
-        lib.rt_bvh_get_packed(h, cbox, cmeta, tri)
+        # +1: trailing all-zero NULL group row (pack_bvh layout parity —
+        # pads partial leaf pops in the combined-schedule kernels).
+        tri = np.zeros((ng + 1, LANES), np.float32)
+        lib.rt_bvh_get_packed(h, cbox, cmeta, tri[:ng])
 
         stats_raw = np.empty(5, np.float64)
         lib.rt_bvh_stats(h, stats_raw)

@@ -152,6 +152,9 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
 
     # Triangle group rows: slot s = g*L + j lives at lanes [12j, 12j+12) of
     # row g; pad slots (slot_map == -1) stay all-zero (n == 0 -> always miss).
+    # One trailing all-zero NULL group (index G) pads partial leaf pops in
+    # the combined-schedule kernels: a zero triangle has det == 0, so it
+    # can never hit (closest candidates stay T_MAX, any-hit never blocks).
     tv = np.asarray(tri_verts, np.float32)
     G = flat.n_slots // L
     sm = flat.slot_map
@@ -162,8 +165,8 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
     n = np.cross(e1, e2)
     data = np.concatenate([v0, e1, e2, n], axis=1).astype(np.float32)  # (S, 12)
     data[sm < 0] = 0.0
-    tri = np.zeros((G, LANES), np.float32)
-    tri[:, : TRI_STRIDE * L] = data.reshape(G, L * TRI_STRIDE)
+    tri = np.zeros((G + 1, LANES), np.float32)
+    tri[:G, : TRI_STRIDE * L] = data.reshape(G, L * TRI_STRIDE)
 
     if bf16:
         cbox = cbox_to_bf16(cbox)
@@ -203,10 +206,13 @@ def _build_cmat(v0, e1, e2, n, sm, G: int, L: int) -> np.ndarray:
     C[3, :, 3:6] = -e1
     C[3, :, 0:3] = c1
     C[:, sm < 0] = 0.0
-    # (4, G, L, 16) -> (G, 4, L, 16) -> (G*4L, 16)
-    return np.ascontiguousarray(
+    # (4, G, L, 16) -> (G, 4, L, 16) -> (G*4L, 16); one trailing all-zero
+    # NULL group block (matches tri's NULL row: det == 0 -> never hits).
+    out = np.zeros(((G + 1) * 4 * L, 16), np.float32)
+    out[: G * 4 * L] = np.ascontiguousarray(
         C.reshape(4, G, L, 16).transpose(1, 0, 2, 3)
     ).reshape(G * 4 * L, 16)
+    return out
 
 
 def pack_bvh4(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> PackedBVH:
@@ -1200,6 +1206,19 @@ def _leaf_pops(lstack, lsp, nleaf: int):
     return gs, jnp.maximum(lsp - nleaf, 0)
 
 
+def _leaf_pops_null(lstack, lsp, nleaf: int, nullg):
+    """Pop up to `nleaf` pending leaf groups; short pops yield the NULL
+    group (index nullg: all-zero triangles, det == 0, can never hit).
+
+    The combined-schedule variant of _leaf_pops: with lsp possibly 0 there
+    is no last group to repeat, so absent pops must be explicit no-ops."""
+    gs = []
+    for i in range(nleaf):
+        slot = jnp.maximum(lsp - 1 - i, 0)
+        gs.append(jnp.where(i < lsp, -lstack[slot] - 1, nullg))
+    return gs, jnp.maximum(lsp - nleaf, 0)
+
+
 def _mxu_leaf_quants_n(cmi, Rh, Rl, gs):
     """(32*len(gs), 1024) MT quantities of several leaf groups via ONE
     triple-dot (M = 32*n <= 128 rides a single MXU pass)."""
@@ -1243,7 +1262,7 @@ def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2):
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
                       counters: bool = False, mxu=None, npop: int = 2,
-                      nleaf: int = 2):
+                      nleaf: int = 2, combined: bool = False):
     """Full multi-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
@@ -1252,7 +1271,16 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
     the return tuple (see _run_occluded_dual). mxu, when given, is
     (Rh, Rl, cmi) and switches leaf evaluation to the MXU path. npop > 2
     selects the wide-pop inner visit (NULL-padded); nleaf > 2 pops that
-    many leaf groups per MXU leaf visit (duplicate-padded)."""
+    many leaf groups per MXU leaf visit (duplicate-padded).
+
+    combined=True (needs mxu) runs the combined schedule: EVERY iteration
+    pops nleaf leaf groups (NULL-group padded) AND npop inner nodes
+    (NULL-node padded) — the MXU leaf matmul and the two VPU dependency
+    chains (leaf winner/merge, inner slab/sort) are independent within an
+    iteration and the hardware overlaps them almost fully (measured
+    1.05 us for leaf4+inner8 vs 0.85 + 0.86 us separately,
+    scripts/microbench_overlap.py), so iterations ~ max(streams) instead
+    of sum. Counters then report (iterations, leaf visits, pad slots)."""
     istack[0] = jnp.int32(0)
 
     def leafn(gs, t, idx, nd, av):
@@ -1285,48 +1313,79 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 nd = jnp.where(better, ndj.astype(jnp.int32), nd)
         return t, idx, nd, av
 
-    def body(state):
-        isp, lsp, t, idx, nd, av = state[:6]
-        cnt = state[6:]
+    if combined:
+        assert mxu is not None, "combined schedule needs the MXU leaf path"
+        nullg = jnp.int32(tri.shape[0] - 1)
 
-        def do_leaf(args):
-            isp, lsp, t, idx, nd, av = args[:6]
-            cnt = args[6:]
-            if mxu is not None:
-                # Pop nleaf groups per visit (duplicate pops when fewer
-                # are pending — idempotent under the strict-< merge).
-                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
-                t, idx, nd, av = leafn(gs, t, idx, nd, av)
-            else:
-                lsp = lsp - 1
-                g = -lstack[lsp] - 1
-                t, idx, nd, av = leaf(g, t, idx, nd, av)
-            if counters:
-                cnt = (cnt[0], cnt[1] + 1, cnt[2])
-            return (isp, lsp, t, idx, nd, av) + cnt
-
-        def do_inner(args):
-            isp, lsp, t, idx, nd, av = args[:6]
-            cnt = args[6:]
+        def body(state):
+            isp, lsp, t, idx, nd, av = state[:6]
+            cnt = state[6:]
             if counters:
                 pad = (
-                    jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
-                    else (isp < 2).astype(jnp.int32)
+                    (jnp.int32(npop) - jnp.minimum(isp, npop))
+                    + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
                 )
-                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
-            if npop > 2:
-                isp, lsp = _wide_inner_visit(
-                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                    npop, arity, compressed,
-                )
-            else:
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                    arity, compressed,
-                )
+                cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
+                       cnt[2] + pad)
+            gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
+            t, idx, nd, av = leafn(gs, t, idx, nd, av)
+            # Backpressure: the combined schedule pushes up to npop*arity
+            # leaf entries per iteration while popping only nleaf, so a
+            # bursty subtree can transiently exceed the leaf stack. When
+            # it nears capacity, NULL the inner pops for this iteration
+            # (pushes nothing; leaves keep draining) — correct for ANY
+            # stack size, merely slower in the (rare) gated iterations.
+            gate = lsp <= jnp.int32(lstack.shape[0] - npop * arity)
+            isp2, lsp = _wide_inner_visit(
+                qbox, qmeta, oi, inv, t, istack, lstack,
+                jnp.where(gate, isp, 0), lsp,
+                npop, arity, compressed,
+            )
+            isp = jnp.where(gate, isp2, isp)
             return (isp, lsp, t, idx, nd, av) + cnt
+    else:
+        def body(state):
+            isp, lsp, t, idx, nd, av = state[:6]
+            cnt = state[6:]
 
-        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+            def do_leaf(args):
+                isp, lsp, t, idx, nd, av = args[:6]
+                cnt = args[6:]
+                if mxu is not None:
+                    # Pop nleaf groups per visit (duplicate pops when fewer
+                    # are pending — idempotent under the strict-< merge).
+                    gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                    t, idx, nd, av = leafn(gs, t, idx, nd, av)
+                else:
+                    lsp = lsp - 1
+                    g = -lstack[lsp] - 1
+                    t, idx, nd, av = leaf(g, t, idx, nd, av)
+                if counters:
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2])
+                return (isp, lsp, t, idx, nd, av) + cnt
+
+            def do_inner(args):
+                isp, lsp, t, idx, nd, av = args[:6]
+                cnt = args[6:]
+                if counters:
+                    pad = (
+                        jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
+                        else (isp < 2).astype(jnp.int32)
+                    )
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+                if npop > 2:
+                    isp, lsp = _wide_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                else:
+                    isp, lsp = _dual_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        arity, compressed,
+                    )
+                return (isp, lsp, t, idx, nd, av) + cnt
+
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
     zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
     init = (
@@ -1349,67 +1408,99 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
                        counters: bool = False, mxu=None, npop: int = 2,
-                       nleaf: int = 2):
+                       nleaf: int = 2, combined: bool = False):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_visits,
     pad_slots) scalars — debug instrumentation for visit accounting
     (scripts/profile_visits.py); keeps the production path free of the
     extra scalar adds. mxu, when given, is (Rh, Rl, cmi) and switches
-    leaf evaluation to the MXU path. npop/nleaf as in _run_closest_dual.
+    leaf evaluation to the MXU path. npop/nleaf/combined as in
+    _run_closest_dual.
     """
     t_limit = jnp.sqrt(max_dist2)
     istack[0] = jnp.int32(0)
 
-    def body(state):
-        isp, lsp, blocked, all_blocked = state[:4]
-        cnt = state[4:]
+    if combined:
+        assert mxu is not None, "combined schedule needs the MXU leaf path"
+        nullg = jnp.int32(tri.shape[0] - 1)
+        Rh, Rl, cmi = mxu
 
-        def do_leaf(args):
-            isp, lsp, blocked, all_blocked = args[:4]
-            cnt = args[4:]
-            if mxu is not None:
-                Rh, Rl, cmi = mxu
-                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
-                blocked = _mxu_leaf_occluded_n(
-                    cmi, Rh, Rl, gs, blocked, max_dist2
-                )
-            else:
-                lsp = lsp - 1
-                g = -lstack[lsp] - 1
-                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
-                for j in range(L):
-                    tj, _ = _mt_scalar_tri(o, d, row, j)
-                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
-                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
-            all_blocked = jnp.min(blocked)
-            if counters:
-                cnt = (cnt[0], cnt[1] + 1, cnt[2])
-            return (isp, lsp, blocked, all_blocked) + cnt
-
-        def do_inner(args):
-            isp, lsp, blocked, all_blocked = args[:4]
-            cnt = args[4:]
+        def body(state):
+            isp, lsp, blocked, all_blocked = state[:4]
+            cnt = state[4:]
             if counters:
                 pad = (
-                    jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
-                    else (isp < 2).astype(jnp.int32)
+                    (jnp.int32(npop) - jnp.minimum(isp, npop))
+                    + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
                 )
-                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+                cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
+                       cnt[2] + pad)
+            gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
+            blocked = _mxu_leaf_occluded_n(
+                cmi, Rh, Rl, gs, blocked, max_dist2
+            )
+            all_blocked = jnp.min(blocked)
             t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-            if npop > 2:
-                isp, lsp = _wide_inner_visit(
-                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    npop, arity, compressed,
-                )
-            else:
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    arity, compressed,
-                )
+            # Backpressure (see _run_closest_dual's combined body).
+            gate = lsp <= jnp.int32(lstack.shape[0] - npop * arity)
+            isp2, lsp = _wide_inner_visit(
+                qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                jnp.where(gate, isp, 0), lsp,
+                npop, arity, compressed,
+            )
+            isp = jnp.where(gate, isp2, isp)
             return (isp, lsp, blocked, all_blocked) + cnt
+    else:
+        def body(state):
+            isp, lsp, blocked, all_blocked = state[:4]
+            cnt = state[4:]
 
-        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+            def do_leaf(args):
+                isp, lsp, blocked, all_blocked = args[:4]
+                cnt = args[4:]
+                if mxu is not None:
+                    Rh, Rl, cmi = mxu
+                    gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                    blocked = _mxu_leaf_occluded_n(
+                        cmi, Rh, Rl, gs, blocked, max_dist2
+                    )
+                else:
+                    lsp = lsp - 1
+                    g = -lstack[lsp] - 1
+                    row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                    for j in range(L):
+                        tj, _ = _mt_scalar_tri(o, d, row, j)
+                        hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                        blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                all_blocked = jnp.min(blocked)
+                if counters:
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2])
+                return (isp, lsp, blocked, all_blocked) + cnt
+
+            def do_inner(args):
+                isp, lsp, blocked, all_blocked = args[:4]
+                cnt = args[4:]
+                if counters:
+                    pad = (
+                        jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
+                        else (isp < 2).astype(jnp.int32)
+                    )
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+                if npop > 2:
+                    isp, lsp = _wide_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                else:
+                    isp, lsp = _dual_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                        arity, compressed,
+                    )
+                return (isp, lsp, blocked, all_blocked) + cnt
+
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
     init = (
         jnp.int32(1),
@@ -1427,12 +1518,14 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False, counters: bool = False,
-                         mxu: bool = False, npop: int = 2, nleaf: int = 2):
+                         mxu: bool = False, npop: int = 2, nleaf: int = 2,
+                         combined: bool = False):
     """Multi-pop closest hit; with n_attr=12 also tracks surface attributes.
 
     mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
     VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest_n).
-    npop/nleaf select the wide-pop schedule (_wide_inner_visit)."""
+    npop/nleaf select the wide-pop schedule (_wide_inner_visit); combined
+    runs the leaf+inner combined schedule (see _run_closest_dual)."""
 
     def kernel(*refs):
         nc = 1 if counters else 0
@@ -1461,7 +1554,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf,
+            npop=npop, nleaf=nleaf, combined=combined,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1482,7 +1575,8 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
                           counters: bool = False, mxu: bool = False,
-                          npop: int = 2, nleaf: int = 2):
+                          npop: int = 2, nleaf: int = 2,
+                          combined: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
@@ -1502,7 +1596,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf,
+            npop=npop, nleaf=nleaf, combined=combined,
         )
         if counters:
             blocked, cnt = res
@@ -1514,6 +1608,124 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
             )
         else:
             out[:, :] = res
+
+    return kernel
+
+
+def _occluded_pair_kernel(L: int, arity: int, compressed: bool = False,
+                          npop: int = 4, nleaf: int = 4):
+    """Any-hit over TWO independent 1024-ray packets per kernel instance.
+
+    The single-packet loop is chain-latency-bound: each visit's vector ops
+    form dependency chains the VPU cannot fill (scripts/
+    microbench_overlap.py measures an inner8 visit + an MXU leaf4 visit
+    issued in ONE basic block at 0.91 us vs 0.85 + 0.67 us apart — the
+    hardware overlaps independent streams almost fully). Two packets'
+    traversals ARE independent streams, so each loop iteration advances
+    BOTH packets one visit, selected by a 4-way branch on the two visit
+    kinds so every combination stays a single basic block (ILP does not
+    cross lax.cond boundaries). Iterations ~ max(itersA, itersB) instead
+    of itersA + itersB; adjacent image tiles have similar cost, bounding
+    the pairing waste.
+
+    MXU leaf path only (the production configuration); npop >= 4 so a
+    drained packet's inner visits degrade to NULL pops instead of reading
+    garbage. Packet A = ray rows [0, 8), packet B = rows [8, 16)."""
+    assert npop >= 4, "paired kernels need the wide-pop NULL-padded visit"
+
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, cmi,
+               out, istA, lstA, istB, lstB, rscA, rscB):
+        def rays_of(lo):
+            return _load_rays(
+                ox[lo:lo + SUBLANES, :], oy[lo:lo + SUBLANES, :],
+                oz[lo:lo + SUBLANES, :], dx[lo:lo + SUBLANES, :],
+                dy[lo:lo + SUBLANES, :], dz[lo:lo + SUBLANES, :],
+            )
+
+        oA, dA, invA, oiA = rays_of(0)
+        oB, dB, invB, oiB = rays_of(SUBLANES)
+        m2A = m2[0:SUBLANES, :]
+        m2B = m2[SUBLANES:2 * SUBLANES, :]
+        tlimA = jnp.sqrt(m2A)
+        tlimB = jnp.sqrt(m2B)
+        _rmat_init_const(rscA)
+        _rmat_init_const(rscB)
+        RhA, RlA = _rmat_load(rscA, oA, dA)
+        RhB, RlB = _rmat_load(rscB, oB, dB)
+        istA[0] = jnp.int32(0)
+        istB[0] = jnp.int32(0)
+
+        def leaf_step(which, lsp, blocked):
+            lst = lstA if which == 0 else lstB
+            Rh, Rl = (RhA, RlA) if which == 0 else (RhB, RlB)
+            md2 = m2A if which == 0 else m2B
+            gs, lsp = _leaf_pops(lst, lsp, nleaf)
+            blocked = _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, md2)
+            return lsp, blocked
+
+        def inner_step(which, isp, lsp, blocked):
+            ist, lst = (istA, lstA) if which == 0 else (istB, lstB)
+            oi, inv = (oiA, invA) if which == 0 else (oiB, invB)
+            tlim = tlimA if which == 0 else tlimB
+            t_cut = jnp.where(blocked > 0, jnp.float32(0.0), tlim)
+            return _wide_inner_visit(
+                qbox, qmeta, oi, inv, t_cut, ist, lst, isp, lsp,
+                npop, arity, compressed,
+            )
+
+        def body(state):
+            ispA, lspA, ispB, lspB, blkA, blkB = state
+
+            def stepA_leaf(s):
+                ispA, lspA, ispB, lspB, blkA, blkB = s
+                lspA, blkA = leaf_step(0, lspA, blkA)
+                return ispA, lspA, ispB, lspB, blkA, blkB
+
+            def stepA_inner(s):
+                ispA, lspA, ispB, lspB, blkA, blkB = s
+                ispA, lspA = inner_step(0, ispA, lspA, blkA)
+                return ispA, lspA, ispB, lspB, blkA, blkB
+
+            def both(a_fn):
+                def ll(s):
+                    s = a_fn(s)
+                    ispA, lspA, ispB, lspB, blkA, blkB = s
+                    lspB, blkB = leaf_step(1, lspB, blkB)
+                    return ispA, lspA, ispB, lspB, blkA, blkB
+
+                def li(s):
+                    s = a_fn(s)
+                    ispA, lspA, ispB, lspB, blkA, blkB = s
+                    ispB, lspB = inner_step(1, ispB, lspB, blkB)
+                    return ispA, lspA, ispB, lspB, blkA, blkB
+
+                return ll, li
+
+            a_leaf_ll, a_leaf_li = both(stepA_leaf)
+            a_inner_ll, a_inner_li = both(stepA_inner)
+
+            def a_leaf(s):
+                return jax.lax.cond(s[3] > 0, a_leaf_ll, a_leaf_li, s)
+
+            def a_inner(s):
+                return jax.lax.cond(s[3] > 0, a_inner_ll, a_inner_li, s)
+
+            return jax.lax.cond(lspA > 0, a_leaf, a_inner, state)
+
+        def pending(isp, lsp, blk):
+            return ((isp > 0) | (lsp > 0)) & (jnp.min(blk) == 0)
+
+        init = (
+            jnp.int32(1), jnp.int32(0), jnp.int32(1), jnp.int32(0),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+            jnp.zeros((SUBLANES, LANES), jnp.int32),
+        )
+        fin = jax.lax.while_loop(
+            lambda s: pending(s[0], s[1], s[4]) | pending(s[2], s[3], s[5]),
+            body, init,
+        )
+        out[0:SUBLANES, :] = fin[4]
+        out[SUBLANES:2 * SUBLANES, :] = fin[5]
 
     return kernel
 
@@ -1817,7 +2029,8 @@ def pack_attr(flat: FlatBVH, mat_idx, mats_kd, mats_ks, mats_kr) -> np.ndarray:
 
     Lets the closest-hit kernels resolve shading attributes with masked
     selects at leaf time instead of per-lane gathers afterwards (HitFull).
-    Pad slots keep zeros (they can never win a hit anyway).
+    Pad slots keep zeros (they can never win a hit anyway). The trailing
+    all-zero row is the NULL group's (matches pack_bvh's tri layout).
     """
     L = flat.leaf_size
     sm = flat.slot_map
@@ -1829,8 +2042,8 @@ def pack_attr(flat: FlatBVH, mat_idx, mats_kd, mats_ks, mats_kr) -> np.ndarray:
     kr = np.asarray(mats_kr, np.float32)[mi]
     data = np.concatenate([kd, ks, kr], axis=1)          # (S, 9)
     data[sm < 0] = 0.0
-    attr = np.zeros((G, LANES), np.float32)
-    attr[:, : ATTR_STRIDE * L] = data.reshape(G, L * ATTR_STRIDE)
+    attr = np.zeros((G + 1, LANES), np.float32)
+    attr[:G, : ATTR_STRIDE * L] = data.reshape(G, L * ATTR_STRIDE)
     return attr
 
 
@@ -1950,7 +2163,13 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         compressed: bool = False, mxu: bool = False,
-                        npop: int = 2, nleaf: int = 2):
+                        npop: int = 2, nleaf: int = 2,
+                        combined: bool = False, npop0: int = 0):
+    """npop0, when nonzero and different from npop, unrolls bounce 0 with
+    its own pop width: the coherent primary passes lose to wide pops (the
+    pending-stack is usually shallower than npop, so slots pad), while
+    the divergent later bounces gain — measured best at npop0=2,
+    npop=8."""
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
@@ -1981,7 +2200,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             jnp.ones(shape, jnp.int32),  # alive
         )
 
-        def bounce(_, st):
+        def make_bounce(npop, nleaf):
+          def bounce(_, st):
             (pox, poy, poz, pdx, pdy, pdz,
              mx, my, mz, fx, fy, fz, alive_i) = st
             live = alive_i > 0
@@ -1999,6 +2219,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             t, _, nd, av = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
+                combined=combined and mxu,
             )
             is_hit = t < jnp.float32(T_MAX)
             # miss: final += multiplier * ambient, lane dies
@@ -2058,7 +2279,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                 blocked = _run_occluded_dual(
                     qbox, qmeta, tri, so, sd, sinv, soi, mag2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
-                    npop=npop, nleaf=nleaf,
+                    npop=npop, nleaf=nleaf, combined=combined and mxu,
                 )
                 vis = (
                     jnp.logical_not(backface).astype(jnp.float32)
@@ -2084,8 +2305,15 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             ir = rsq(rx * rx + ry * ry + rz * rz)
             return (px, py, pz, rx * ir, ry * ir, rz * ir,
                     mx, my, mz, fx, fy, fz, live.astype(jnp.int32))
+          return bounce
 
-        st = jax.lax.fori_loop(0, bounces, bounce, state0)
+        bounce = make_bounce(npop, nleaf)
+        if npop0 and npop0 != npop and bounces > 1:
+            b0 = make_bounce(npop0, 4 if (mxu and npop0 > 2) else 2)
+            st = b0(0, state0)
+            st = jax.lax.fori_loop(1, bounces, bounce, st)
+        else:
+            st = jax.lax.fori_loop(0, bounces, bounce, state0)
         r_out[:, :] = st[9]
         g_out[:, :] = st[10]
         b_out[:, :] = st[11]
@@ -2097,13 +2325,14 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
-        "npop",
+        "npop", "nleaf", "combined", "npop0",
     ),
 )
 def frame_tiles(
     cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
-    compressed: bool = False, cmat=None, npop: int = 2,
+    compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
+    combined: bool = False, npop0: int = 0,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2121,11 +2350,16 @@ def frame_tiles(
     assert npop in (2, 4, 8)
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
-        npop=npop, nleaf=4 if (mxu and npop > 2) else 2,
+        npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+        combined=combined and mxu, npop0=npop0,
     )
     extra_in = [cmat] if mxu else []
     extra_specs = _MXU_SPECS if mxu else []
-    scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+    scratch = [
+        pltpu.SMEM((stack_depth,), jnp.int32),
+        pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
+                    else stack_depth,), jnp.int32),
+    ]
     if mxu:
         scratch = scratch + [_RMAT_SCRATCH]
     block = pl.BlockSpec(
@@ -2201,14 +2435,14 @@ def _stream_scratch(n_rings: int):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf",
+        "stream", "counters", "npop", "nleaf", "combined",
     ),
 )
 def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
-    cmat=None, npop: int = 2, nleaf: int = 0,
+    cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2251,8 +2485,13 @@ def closest_tiles(
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            combined=combined and mxu,
         )
-        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        scratch = [
+            pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
+                        else stack_depth,), jnp.int32),
+        ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
     else:
@@ -2287,14 +2526,14 @@ def closest_tiles(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "npop", "nleaf",
+        "stream", "npop", "nleaf", "combined",
     ),
 )
 def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
-    cmat=None, npop: int = 2, nleaf: int = 0,
+    cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -2335,8 +2574,13 @@ def closest_tiles_full(
         kernel = _closest_dual_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
             npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            combined=combined and mxu,
         )
-        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        scratch = [
+            pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
+                        else stack_depth,), jnp.int32),
+        ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
     else:
@@ -2371,7 +2615,7 @@ def closest_tiles_full(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf",
+        "stream", "counters", "npop", "nleaf", "combined", "paired",
     ),
 )
 def occluded_tiles(
@@ -2379,6 +2623,7 @@ def occluded_tiles(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
+    combined: bool = False, paired: bool = False,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2407,6 +2652,33 @@ def occluded_tiles(
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
+    if paired:
+        assert mxu and not stream and not counters and npop >= 4 and \
+            ntiles % 2 == 0, "paired needs mxu, npop >= 4, even tile count"
+        kernel = _occluded_pair_kernel(
+            leaf_size, arity, compressed=compressed, npop=npop,
+            nleaf=nleaf or 4,
+        )
+        pair_block = pl.BlockSpec(
+            (2 * SUBLANES, LANES), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        blocked = pl.pallas_call(
+            kernel,
+            grid=(ntiles // 2,),
+            out_shape=out_shape[0],
+            in_specs=[pair_block] * 7 + _scene_specs(False) + _MXU_SPECS,
+            out_specs=pair_block,
+            scratch_shapes=(
+                [pltpu.SMEM((stack_depth,), jnp.int32)] * 4
+                + [_RMAT_SCRATCH] * 2
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES
+            ),
+            interpret=interpret,
+        )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, cmat)
+        return blocked
     if stream:
         kernel = _occluded_stream_kernel(leaf_size, arity, compressed=compressed)
         scratch = (
@@ -2416,8 +2688,13 @@ def occluded_tiles(
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            combined=combined and mxu,
         )
-        scratch = [pltpu.SMEM((stack_depth,), jnp.int32)] * 2
+        scratch = [
+            pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
+                        else stack_depth,), jnp.int32),
+        ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
     else:
@@ -2449,7 +2726,7 @@ def occluded_tiles(
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 stack_depth: int = STACK_DEPTH, dual: bool = False,
                 compressed: bool = False, stream: bool = False,
-                npop: int = 2):
+                npop: int = 2, combined: bool = False):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
     packed_dev: (cbox, cmeta, tri[, attr][, cmi]) device arrays from a
@@ -2480,7 +2757,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, dual=dual, compressed=compressed,
-                stream=stream, cmat=cmat, npop=npop,
+                stream=stream, cmat=cmat, npop=npop, combined=combined,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -2492,7 +2769,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop,
+            npop=npop, combined=combined,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -2508,7 +2785,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop,
+            npop=npop, combined=combined,
         )
         return blocked.reshape(R)
 

@@ -233,7 +233,7 @@ def render_bvh_jax(
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
         "interpret", "fast_light", "stack_depth", "compressed", "dual",
-        "stream", "npop",
+        "stream", "npop", "npop0",
     ),
 )
 def _render_bvh_pallas(
@@ -254,6 +254,7 @@ def _render_bvh_pallas(
     dual: bool = True,
     stream: bool = False,
     npop: int = 2,
+    npop0: int = 0,
 ):
     from . import pallas_trace
 
@@ -265,8 +266,21 @@ def _render_bvh_pallas(
         stack_depth=stack_depth, compressed=compressed, dual=dual,
         stream=stream, npop=npop,
     )
+    if npop0 and npop0 != npop:
+        # Coherent primary bounce at its own (narrower) pop width.
+        c0, o0 = pallas_trace.make_tracer(
+            packed_dev, leaf_size, interpret=interpret, ds=ds,
+            stack_depth=stack_depth, compressed=compressed, dual=dual,
+            stream=stream, npop=npop0,
+        )
+        closest_fn = [c0, closest_fn]
+        occluded_fn = [o0, occluded_fn]
     if not fast_light:
-        occluded_fn = occluded_from_closest(closest_fn)
+        occluded_fn = (
+            [occluded_from_closest(c) for c in closest_fn]
+            if isinstance(closest_fn, list)
+            else occluded_from_closest(closest_fn)
+        )
     col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
     col = col.clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -288,6 +302,7 @@ def _render_bvh_fused(
     y_offset=0,
     compressed: bool = False,
     npop: int = 2,
+    npop0: int = 0,
 ):
     from . import pallas_trace
 
@@ -302,6 +317,7 @@ def _render_bvh_fused(
         *packed_dev[:4], lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
         cmat=packed_dev[4] if len(packed_dev) >= 5 else None, npop=npop,
+        npop0=npop0,
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -322,6 +338,7 @@ def render_bvh_fused(
     stack_depth: int = 96,
     compressed: bool = False,
     npop: int = 2,
+    npop0: int = 0,
 ):
     """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
     entire bounce loop in ONE kernel launch per packet — no inter-pass
@@ -338,7 +355,7 @@ def render_bvh_fused(
     return _render_bvh_fused(
         ds, packed_dev, cam_arrays, width, height, bounces, leaf_size,
         tile_rows, tile_cols, interpret, stack_depth,
-        compressed=compressed, npop=npop,
+        compressed=compressed, npop=npop, npop0=npop0,
     )
 
 
@@ -359,6 +376,7 @@ def render_bvh_pallas(
     dual: bool = True,
     stream: bool = False,
     npop: int = 2,
+    npop0: int = 0,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -374,5 +392,5 @@ def render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
         stack_depth, compressed=compressed, dual=dual, stream=stream,
-        npop=npop,
+        npop=npop, npop0=npop0,
     )

@@ -176,15 +176,24 @@ def trace_rays(
     d: Vec3,
     bounces: int,
 ) -> Vec3:
-    """Full masked bounce loop; returns unclamped color per ray."""
+    """Full masked bounce loop; returns unclamped color per ray.
+
+    closest_fn / occluded_fn may each be a per-bounce sequence (entry b
+    traces bounce b; the last entry covers any remaining bounces) — the
+    pallas variant uses this to run the coherent primary bounce at a
+    narrower pop width than the divergent later bounces."""
+    cfs = (list(closest_fn) if isinstance(closest_fn, (list, tuple))
+           else [closest_fn])
+    ofs = (list(occluded_fn) if isinstance(occluded_fn, (list, tuple))
+           else [occluded_fn])
     zero = Vec3(o.x * 0, o.y * 0, o.z * 0)
     final = zero
     mult = Vec3(o.x * 0 + 1, o.y * 0 + 1, o.z * 0 + 1)
     alive = jnp.ones(o.x.shape, bool)
 
-    for _ in range(bounces):
+    for b in range(bounces):
         o_m, d_m = mask_dead_rays(o, d, alive)
-        hit = closest_fn(o_m, d_m)
+        hit = cfs[min(b, len(cfs) - 1)](o_m, d_m)
         is_hit = hit.idx >= 0
 
         # Miss: add multiplier * ambient, lane dies (raytracer.cu:71-74).
@@ -197,7 +206,8 @@ def trace_rays(
         final = final + (mult * amb).where(miss_now, zero)
         alive = alive & is_hit
 
-        col = shade_hit(ds, occluded_fn, o, d, hit, active=alive)
+        col = shade_hit(ds, ofs[min(b, len(ofs) - 1)], o, d, hit,
+                        active=alive)
         final = final + (mult * col).where(alive, zero)
 
         # Early exit check happens BEFORE the kr update (raytracer.cu:103-106).

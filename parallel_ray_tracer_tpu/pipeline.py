@@ -51,6 +51,7 @@ class Pipeline:
     compressed: bool = False              # bf16-pair box rows (pallas)
     stream: bool = False                  # HBM-streamed leaf rows (pallas)
     npop: int = 2                         # wide-pop width actually in effect
+    npop0: int = 0                        # bounce-0 pop width (0 = npop)
 
     def bvh_metrics_banner(self) -> Optional[str]:
         """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
@@ -105,6 +106,7 @@ class Pipeline:
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 interpret=interpret, stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, npop=self.npop,
+                npop0=self.npop0,
             )
         if variant == "pallas":
             assert self.packed_dev is not None
@@ -115,7 +117,7 @@ class Pipeline:
                 interpret=interpret, fast_light=cfg.fast_light,
                 stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, dual=cfg.dual_pop,
-                stream=self.stream, npop=self.npop,
+                stream=self.stream, npop=self.npop, npop0=self.npop0,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -161,7 +163,7 @@ class Pipeline:
                 cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,
                 interpret, cfg.fast_light, self.pallas_stack_depth,
                 y_offset=y0, compressed=self.compressed, dual=cfg.dual_pop,
-                stream=self.stream, npop=self.npop,
+                stream=self.stream, npop=self.npop, npop0=self.npop0,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -384,6 +386,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         compressed=bool(packed is not None and getattr(packed, "compressed", False)),
         stream=stream,
         npop=npop,
+        npop0=2 if npop > 2 else 0,
     )
 
 

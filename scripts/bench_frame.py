@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--modes", default="pass,fused")
     ap.add_argument("--mxu", action=argparse.BooleanOptionalAction,
                     default=True, help="MXU leaf evaluation")
+    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8),
+                    help="wide-pop width (inner nodes per visit)")
+    ap.add_argument("--nleaf", type=int, default=0)
+    ap.add_argument("--pop0", type=int, default=0,
+                    help="bounce-0 pop width (0 = same as --pop)")
+    ap.add_argument("--combined", action="store_true",
+                    help="combined leaf+inner iteration schedule")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -67,6 +74,7 @@ def main():
         width=W, height=H, scene=args.scene, bounces=args.bounces,
         bvh_heuristic=6, tile_rows=32, tile_cols=32,
         presplit=args.presplit, true_sah=args.true_sah, mxu_leaf=args.mxu,
+        pop_width=args.pop,
     )
     pipe = pipeline.prepare(cfg)
     leaf = pipe.leaf_size
@@ -98,7 +106,15 @@ def main():
                 o, d = rays(eps)
                 closest_fn, occluded_fn = pallas_trace.make_tracer(
                     packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
+                    npop=args.pop, combined=args.combined,
                 )
+                if args.pop0 and args.pop0 != args.pop:
+                    c0, o0 = pallas_trace.make_tracer(
+                        packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
+                        npop=args.pop0, combined=args.combined,
+                    )
+                    closest_fn = [c0, closest_fn]
+                    occluded_fn = [o0, occluded_fn]
                 col = trace_rays(ds, closest_fn, occluded_fn, o, d,
                                  args.bounces)
                 return eps + jnp.sum(col.x) * 1e-18
@@ -122,6 +138,8 @@ def main():
                     *packed[:4], lamb, o2, d2, bounces=args.bounces,
                     leaf_size=leaf, stack_depth=sdepth,
                     cmat=packed[4] if len(packed) >= 5 else None,
+                    npop=args.pop, nleaf=args.nleaf,
+                    combined=args.combined, npop0=args.pop0,
                 )
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
@@ -135,6 +153,10 @@ def main():
         + (f"_ps{round(1/args.presplit)}" if args.presplit else "")
         + ("_tsah" if args.true_sah else "")
         + ("_mxu" if len(packed) >= 5 else "")
+        + (f"_pop{args.pop}" if args.pop != 2 else "")
+        + (f"_p0{args.pop0}" if args.pop0 else "")
+        + (f"_nl{args.nleaf}" if args.nleaf else "")
+        + ("_comb" if args.combined else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")
     )
     out = os.path.join(

@@ -58,7 +58,8 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8))
-    ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4))
+    ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8))
+    ap.add_argument("--combined", action="store_true")
     args = ap.parse_args()
     cfg = RenderConfig(
         width=W, height=H, scene="car_boxed", bvh_heuristic=6,
@@ -86,7 +87,7 @@ def main():
         _, cnt = pallas_trace.closest_tiles(
             cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
             dual=True, counters=True, npop=args.pop, nleaf=args.nleaf,
-            cmat=cmat,
+            cmat=cmat, combined=args.combined,
         )
         report[f"closest_b{b}"] = stats(np.asarray(cnt))
         print(f"closest_b{b}", report[f"closest_b{b}"], flush=True)
@@ -98,14 +99,18 @@ def main():
             cbox, cmeta, tri, so2, sd2, sm2.reshape(rows, 128),
             leaf_size=leaf, stack_depth=sdepth, dual=True, counters=True,
             npop=args.pop, nleaf=args.nleaf, cmat=cmat,
+            combined=args.combined,
         )
         report[f"occluded_b{b}"] = stats(np.asarray(ocnt))
         print(f"occluded_b{b}", report[f"occluded_b{b}"], flush=True)
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "metrics", "profile_visits.json" if args.pop == 2
-        else f"profile_visits_pop{args.pop}.json",
+        "metrics", "profile_visits"
+        + (f"_pop{args.pop}" if args.pop != 2 else "")
+        + (f"_nl{args.nleaf}" if args.nleaf else "")
+        + ("_comb" if args.combined else "")
+        + ".json",
     )
     with open(out, "w") as f:
         json.dump(report, f, indent=2)

@@ -19,7 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RT_TEST_TPU=1 keeps the real TPU backend (for tests/test_tpu_compiled.py,
+# which skips itself on CPU); everything else runs hermetic on CPU.
+if not os.environ.get("RT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

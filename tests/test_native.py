@@ -35,7 +35,8 @@ class TestNativeBVH:
         live = flat.slot_map[flat.slot_map >= 0]
         assert sorted(live.tolist()) == list(range(tv.shape[0]))
         assert (flat.count[flat.count > 0] <= 4).all()
-        assert packed.n_groups == flat.n_slots // 4
+        # +1: trailing NULL group row (combined-schedule pad visits)
+        assert packed.n_groups == flat.n_slots // 4 + 1
         assert stats["leaf_count"] > 0
 
     def test_render_matches_oracle(self, car_only_scene):
