@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pending inner nodes visited per traversal "
                         "iteration (wide-pop schedule; > 2 needs dual-pop "
                         "and --bvh-width >= 4)")
+    p.add_argument("--no-reverse-shadows", action="store_true",
+                   help="trace shadow segments hit->light (the reference's "
+                        "direction) instead of the default light->hit, "
+                        "which gives shadow packets one shared origin")
     p.add_argument("--no-dual-pop", action="store_true",
                    help="single-pop traversal schedule (dual-pop is the "
                         "default: two inner nodes per iteration, one shared "
@@ -158,6 +162,7 @@ def config_from_args(args) -> RenderConfig:
         num_devices=args.devices,
         use_native=not args.no_native,
         dual_pop=not args.no_dual_pop,
+        reverse_shadows=not args.no_reverse_shadows,
         pop_width=args.pop_width,
         presplit=args.presplit,
         stream=args.stream,

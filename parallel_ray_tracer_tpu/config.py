@@ -147,6 +147,13 @@ class RenderConfig:
     # parity. Implemented by both the C++ and NumPy builders.
     true_sah: bool = True
 
+    # Trace shadow segments from the light toward the hit points (one
+    # shared packet origin -> primary-ray-grade coherence; the distance
+    # window maps exactly, see ops/shade.shade_hit). Applies only with
+    # fast_light (the any-hit tracer); the USE_BVH_FAST_LIGHT=0 parity
+    # fallback always traces forward.
+    reverse_shadows: bool = True
+
     # Triangles per leaf group row (power of two <= 8); None = largest
     # that fits the 128-lane row (8).
     leaf_size: Optional[int] = None

@@ -2164,12 +2164,15 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         compressed: bool = False, mxu: bool = False,
                         npop: int = 2, nleaf: int = 2,
-                        combined: bool = False, npop0: int = 0):
+                        combined: bool = False, npop0: int = 0,
+                        reverse_shadows: bool = True):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
     the divergent later bounces gain — measured best at npop0=2,
-    npop=8."""
+    npop=8. reverse_shadows traces shadow segments from the light (one
+    shared packet origin — see ops/shade.shade_hit's docstring for the
+    exact window mapping and the measured win)."""
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
@@ -2265,19 +2268,32 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                 backface = (lvx * nx + lvy * ny + lvz * nz) < 0.0
                 need = live & jnp.logical_not(backface)
 
-                so = Vec3(jnp.where(need, px, far),
-                          jnp.where(need, py, far),
-                          jnp.where(need, pz, far))
-                sd = Vec3(jnp.where(need, lx, fzero),
-                          jnp.where(need, ly, fzero),
-                          jnp.where(need, lz, fzero))
+                if reverse_shadows:
+                    # light -> hit point (single shared packet origin);
+                    # window (dist - EPS)^2, see shade_hit's docstring.
+                    mag = mag2 * imag
+                    so = Vec3(jnp.where(need, lp[0], far),
+                              jnp.where(need, lp[1], far),
+                              jnp.where(need, lp[2], far))
+                    sd = Vec3(jnp.where(need, -lx, fzero),
+                              jnp.where(need, -ly, fzero),
+                              jnp.where(need, -lz, fzero))
+                    sm2 = jnp.maximum(mag - jnp.float32(EPSILON), 0.0) ** 2
+                else:
+                    so = Vec3(jnp.where(need, px, far),
+                              jnp.where(need, py, far),
+                              jnp.where(need, pz, far))
+                    sd = Vec3(jnp.where(need, lx, fzero),
+                              jnp.where(need, ly, fzero),
+                              jnp.where(need, lz, fzero))
+                    sm2 = mag2
                 sinv = Vec3(jnp.clip(1.0 / sd.x, -lim, lim),
                             jnp.clip(1.0 / sd.y, -lim, lim),
                             jnp.clip(1.0 / sd.z, -lim, lim))
                 soi = Vec3(so.x * sinv.x, so.y * sinv.y, so.z * sinv.z)
                 mxu_o = (*_rmat_load(rsc, so, sd), cmi) if mxu else None
                 blocked = _run_occluded_dual(
-                    qbox, qmeta, tri, so, sd, sinv, soi, mag2,
+                    qbox, qmeta, tri, so, sd, sinv, soi, sm2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
                     npop=npop, nleaf=nleaf, combined=combined and mxu,
                 )
@@ -2325,14 +2341,14 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
-        "npop", "nleaf", "combined", "npop0",
+        "npop", "nleaf", "combined", "npop0", "reverse_shadows",
     ),
 )
 def frame_tiles(
     cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
-    combined: bool = False, npop0: int = 0,
+    combined: bool = False, npop0: int = 0, reverse_shadows: bool = True,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2352,6 +2368,7 @@ def frame_tiles(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
         combined=combined and mxu, npop0=npop0,
+        reverse_shadows=reverse_shadows,
     )
     extra_in = [cmat] if mxu else []
     extra_specs = _MXU_SPECS if mxu else []

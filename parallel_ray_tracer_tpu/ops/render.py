@@ -64,13 +64,15 @@ def render_band(
     y_offset,
     rows: int,
     bounces: int,
+    reverse_shadows: bool = True,
 ):
     """Render a band of `rows` scanlines -> (rows, width, 3) f32 in [0,1]."""
     origin, dir00, inc_x, inc_y = cam_arrays
     o, d = generate_rays(origin, dir00, inc_x, inc_y, width, height, y_offset, rows)
     flat_o = o.reshape(rows * width)
     flat_d = d.reshape(rows * width)
-    col = trace_rays(ds, closest_fn, occluded_fn, flat_o, flat_d, bounces)
+    col = trace_rays(ds, closest_fn, occluded_fn, flat_o, flat_d, bounces,
+                     reverse_shadows=reverse_shadows)
     col = col.clamp(0.0, 1.0).reshape(rows, width)
     return jnp.stack([col.x, col.y, col.z], axis=-1)
 
@@ -174,7 +176,7 @@ def generate_rays_tiled(cam_arrays, width, height, tr, tc, y_offset=0):
     jax.jit,
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "stack_depth",
-        "tile_rows", "tile_cols", "fast_light",
+        "tile_rows", "tile_cols", "fast_light", "reverse_shadows",
     ),
 )
 def _render_bvh_jax(
@@ -190,6 +192,7 @@ def _render_bvh_jax(
     tile_cols: int,
     fast_light: bool = True,
     y_offset=0,
+    reverse_shadows: bool = True,
 ):
     from . import trace_bvh
 
@@ -200,8 +203,11 @@ def _render_bvh_jax(
         bvh, ds, leaf_size, stack_depth, packet=tile_rows * tile_cols
     )
     if not fast_light:
+        # Keep the USE_BVH_FAST_LIGHT=0 parity mode literally
+        # reference-shaped: forward shadow rays.
         occluded_fn = occluded_from_closest(closest_fn)
-    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
+    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces,
+                     reverse_shadows=fast_light and reverse_shadows)
     col = col.clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
     return tiles_to_image(flat, width, height, tile_rows, tile_cols)
@@ -219,12 +225,14 @@ def render_bvh_jax(
     tile_rows: int = 32,
     tile_cols: int = 32,
     fast_light: bool = True,
+    reverse_shadows: bool = True,
 ):
     """Packet-traversal render, pure JAX (lax.while_loop) variant."""
     cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
     return _render_bvh_jax(
         ds, bvh, cam_arrays, width, height, bounces,
         leaf_size, stack_depth, tile_rows, tile_cols, fast_light,
+        reverse_shadows=reverse_shadows,
     )
 
 
@@ -233,7 +241,7 @@ def render_bvh_jax(
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
         "interpret", "fast_light", "stack_depth", "compressed", "dual",
-        "stream", "npop", "npop0",
+        "stream", "npop", "npop0", "reverse_shadows",
     ),
 )
 def _render_bvh_pallas(
@@ -255,6 +263,7 @@ def _render_bvh_pallas(
     stream: bool = False,
     npop: int = 2,
     npop0: int = 0,
+    reverse_shadows: bool = True,
 ):
     from . import pallas_trace
 
@@ -281,7 +290,8 @@ def _render_bvh_pallas(
             if isinstance(closest_fn, list)
             else occluded_from_closest(closest_fn)
         )
-    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces)
+    col = trace_rays(ds, closest_fn, occluded_fn, o, d, bounces,
+                     reverse_shadows=fast_light and reverse_shadows)
     col = col.clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
     return tiles_to_image(flat, width, height, tile_rows, tile_cols)
@@ -303,6 +313,7 @@ def _render_bvh_fused(
     compressed: bool = False,
     npop: int = 2,
     npop0: int = 0,
+    reverse_shadows: bool = True,
 ):
     from . import pallas_trace
 
@@ -317,7 +328,7 @@ def _render_bvh_fused(
         *packed_dev[:4], lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
         cmat=packed_dev[4] if len(packed_dev) >= 5 else None, npop=npop,
-        npop0=npop0,
+        npop0=npop0, reverse_shadows=reverse_shadows,
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -339,6 +350,7 @@ def render_bvh_fused(
     compressed: bool = False,
     npop: int = 2,
     npop0: int = 0,
+    reverse_shadows: bool = True,
 ):
     """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
     entire bounce loop in ONE kernel launch per packet — no inter-pass
@@ -356,6 +368,7 @@ def render_bvh_fused(
         ds, packed_dev, cam_arrays, width, height, bounces, leaf_size,
         tile_rows, tile_cols, interpret, stack_depth,
         compressed=compressed, npop=npop, npop0=npop0,
+        reverse_shadows=reverse_shadows,
     )
 
 
@@ -377,6 +390,7 @@ def render_bvh_pallas(
     stream: bool = False,
     npop: int = 2,
     npop0: int = 0,
+    reverse_shadows: bool = True,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -392,5 +406,5 @@ def render_bvh_pallas(
         ds, packed_dev, cam_arrays, width, height, bounces,
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
         stack_depth, compressed=compressed, dual=dual, stream=stream,
-        npop=npop, npop0=npop0,
+        npop=npop, npop0=npop0, reverse_shadows=reverse_shadows,
     )

@@ -115,6 +115,7 @@ def shade_hit(
     d: Vec3,
     hit: Hit,
     active=None,
+    reverse_shadows: bool = False,
 ) -> Vec3:
     """Direct lighting at the hit points (no reflection term).
 
@@ -124,6 +125,20 @@ def shade_hit(
     `active` (bool lanes) gates the shadow rays: inactive lanes get a
     zero direction, which makes every AABB/triangle test miss, so packet
     traversal skips them at zero cost (dead-lane culling).
+
+    reverse_shadows traces each shadow segment FROM THE LIGHT toward the
+    hit point instead of hit point -> light. Occlusion of a segment is
+    symmetric, and the window maps exactly: the forward test accepts
+    hits with t in (EPS, dist) (cpu/src/raytracer.c:35-59 EPSILON +
+    bvh_light_traverse's t^2 < dist^2), which is s in (0, dist - EPS)
+    from the light end, so the reversed call passes
+    max_dist2 = (dist - EPS)^2 and the kernel's own t > EPS origin guard
+    excludes only geometry within EPS of the light (none in practice).
+    The payoff is packet coherence: a pixel tile's shadow rays toward a
+    point light share ONE origin reversed — like primary rays from a
+    "light camera" — where their forward origins scatter across
+    geometry. Measured -16/-28/-32% on the bounce-0/1/2 occluded passes
+    (car_boxed 1080p, BENCHMARKS.md).
     """
     t_safe = jnp.where(hit.idx >= 0, hit.t, 1.0)
     if active is None:
@@ -154,8 +169,14 @@ def shade_hit(
         # Only lanes whose visibility can matter trace a shadow ray; the
         # rest are masked out so the traversal never visits nodes for them.
         need = active & jnp.logical_not(backface)
-        p_m, l_m = mask_dead_rays(p, l, need)
-        occ = occluded_fn(p_m, l_m, mag2)
+        if reverse_shadows:
+            # light -> hit point; -l is bit-exactly antiparallel to l.
+            ro_m, rd_m = mask_dead_rays(lp, -l, need)
+            rng2 = jnp.maximum(mag - EPSILON, 0.0) ** 2
+            occ = occluded_fn(ro_m, rd_m, rng2)
+        else:
+            p_m, l_m = mask_dead_rays(p, l, need)
+            occ = occluded_fn(p_m, l_m, mag2)
         # Float visibility, the reference GPU's branchless form
         # (gpu/src/raytracer.cu:50-59): 0/1 for hard shadows, fractional for
         # the differentiable soft-visibility tracer (ops/diff.py).
@@ -175,13 +196,15 @@ def trace_rays(
     o: Vec3,
     d: Vec3,
     bounces: int,
+    reverse_shadows: bool = False,
 ) -> Vec3:
     """Full masked bounce loop; returns unclamped color per ray.
 
     closest_fn / occluded_fn may each be a per-bounce sequence (entry b
     traces bounce b; the last entry covers any remaining bounces) — the
     pallas variant uses this to run the coherent primary bounce at a
-    narrower pop width than the divergent later bounces."""
+    narrower pop width than the divergent later bounces.
+    reverse_shadows: see shade_hit."""
     cfs = (list(closest_fn) if isinstance(closest_fn, (list, tuple))
            else [closest_fn])
     ofs = (list(occluded_fn) if isinstance(occluded_fn, (list, tuple))
@@ -207,7 +230,7 @@ def trace_rays(
         alive = alive & is_hit
 
         col = shade_hit(ds, ofs[min(b, len(ofs) - 1)], o, d, hit,
-                        active=alive)
+                        active=alive, reverse_shadows=reverse_shadows)
         final = final + (mult * col).where(alive, zero)
 
         # Early exit check happens BEFORE the kr update (raytracer.cu:103-106).

@@ -137,7 +137,8 @@ def _render_sharded(
             )
         else:
             closest_fn, occluded_fn = make_brute_tracer(ds_r)
-        col = trace_rays(ds_r, closest_fn, occluded_fn, of, df, bounces)
+        col = trace_rays(ds_r, closest_fn, occluded_fn, of, df, bounces,
+                         reverse_shadows=True)
         col = col.clamp(0.0, 1.0)
         return jnp.stack([col.x, col.y, col.z], axis=-1).reshape(nt_local, K, 3)
 

@@ -97,6 +97,7 @@ class Pipeline:
                 leaf_size=self.leaf_size, stack_depth=self.stack_depth,
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 fast_light=cfg.fast_light,
+                reverse_shadows=cfg.reverse_shadows,
             )
         if variant == "fused":
             assert self.packed_dev is not None and len(self.packed_dev) >= 4
@@ -106,7 +107,7 @@ class Pipeline:
                 tile_rows=cfg.tile_rows, tile_cols=cfg.tile_cols,
                 interpret=interpret, stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, npop=self.npop,
-                npop0=self.npop0,
+                npop0=self.npop0, reverse_shadows=cfg.reverse_shadows,
             )
         if variant == "pallas":
             assert self.packed_dev is not None
@@ -118,6 +119,7 @@ class Pipeline:
                 stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, dual=cfg.dual_pop,
                 stream=self.stream, npop=self.npop, npop0=self.npop0,
+                reverse_shadows=cfg.reverse_shadows,
             )
         raise ValueError(f"unknown variant {variant!r}")
 

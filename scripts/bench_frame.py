@@ -116,7 +116,7 @@ def main():
                     closest_fn = [c0, closest_fn]
                     occluded_fn = [o0, occluded_fn]
                 col = trace_rays(ds, closest_fn, occluded_fn, o, d,
-                                 args.bounces)
+                                 args.bounces, reverse_shadows=True)
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
 

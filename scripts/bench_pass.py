@@ -153,6 +153,8 @@ def main():
                     help="combined leaf+inner iteration schedule")
     ap.add_argument("--paired", action="store_true",
                     help="two packets per kernel instance (occluded only)")
+    ap.add_argument("--reverse", action="store_true",
+                    help="light-origin shadow segments (occluded passes)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -212,6 +214,21 @@ def main():
         print(key, f"{results[key]:.2f}", flush=True)
 
         so, sd, sm2 = shadow_rays(ds, o, d, alive, closest_fn)
+        if args.reverse:
+            import numpy as _np
+            dead = (sd.x == 0) & (sd.y == 0) & (sd.z == 0)
+            lx = jnp.float32(_np.asarray(ds.lights_pos.x)[0])
+            ly = jnp.float32(_np.asarray(ds.lights_pos.y)[0])
+            lz = jnp.float32(_np.asarray(ds.lights_pos.z)[0])
+            dist = jnp.sqrt(sm2)
+            rvx, rvy, rvz = so.x - lx, so.y - ly, so.z - lz
+            rmag = jnp.sqrt(jnp.maximum(rvx**2 + rvy**2 + rvz**2, 1e-30))
+            so = Vec3(jnp.where(dead, 1e30, lx), jnp.where(dead, 1e30, ly),
+                      jnp.where(dead, 1e30, lz))
+            sd = Vec3(jnp.where(dead, 0.0, rvx / rmag),
+                      jnp.where(dead, 0.0, rvy / rmag),
+                      jnp.where(dead, 0.0, rvz / rmag))
+            sm2 = jnp.maximum(dist - 1e-3, 0.0) ** 2
         so2 = Vec3(*(p.reshape(rows, 128) for p in so))
         sd2 = Vec3(*(p.reshape(rows, 128) for p in sd))
         sm22 = sm2.reshape(rows, 128)
@@ -245,6 +262,7 @@ def main():
         + (f"_nl{args.nleaf}" if args.nleaf else "")
         + ("_comb" if args.combined else "")
         + ("_pair" if args.paired else "")
+        + ("_rev" if args.reverse else "")
     )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
