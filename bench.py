@@ -163,12 +163,16 @@ def main() -> None:
 
         if on_tpu:
             cbox, cmeta, tri = dpipe.packed_dev[:3]
+            dcmat = (
+                dpipe.packed_dev[4] if len(dpipe.packed_dev) >= 5 else None
+            )
 
             def one(ox):
                 return pallas_trace.closest_tiles(
                     cbox, cmeta, tri, Vec3(ox, o2.y, o2.z), d2,
                     leaf_size=dpipe.leaf_size,
                     stack_depth=dpipe.pallas_stack_depth, dual=True,
+                    cmat=dcmat,
                 )
         else:
             def one(ox):
