@@ -2165,14 +2165,18 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         compressed: bool = False, mxu: bool = False,
                         npop: int = 2, nleaf: int = 2,
                         combined: bool = False, npop0: int = 0,
-                        reverse_shadows: bool = True):
+                        reverse_shadows: bool = True,
+                        npops: "tuple | None" = None):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
     the divergent later bounces gain — measured best at npop0=2,
-    npop=8. reverse_shadows traces shadow segments from the light (one
-    shared packet origin — see ops/shade.shade_hit's docstring for the
-    exact window mapping and the measured win)."""
+    npop=8. npops, when given, generalizes this to a FULL per-bounce
+    schedule: entry b is bounce b's pop width (the last entry covers any
+    remaining bounces); the whole loop is then unrolled. reverse_shadows
+    traces shadow segments from the light (one shared packet origin —
+    see ops/shade.shade_hit's docstring for the exact window mapping and
+    the measured win)."""
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
@@ -2324,7 +2328,12 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
           return bounce
 
         bounce = make_bounce(npop, nleaf)
-        if npop0 and npop0 != npop and bounces > 1:
+        if npops:
+            st = state0
+            for b in range(bounces):
+                w = npops[min(b, len(npops) - 1)]
+                st = make_bounce(w, 4 if (mxu and w > 2) else 2)(b, st)
+        elif npop0 and npop0 != npop and bounces > 1:
             b0 = make_bounce(npop0, 4 if (mxu and npop0 > 2) else 2)
             st = b0(0, state0)
             st = jax.lax.fori_loop(1, bounces, bounce, st)
@@ -2341,7 +2350,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
-        "npop", "nleaf", "combined", "npop0", "reverse_shadows",
+        "npop", "nleaf", "combined", "npop0", "reverse_shadows", "npops",
     ),
 )
 def frame_tiles(
@@ -2349,6 +2358,7 @@ def frame_tiles(
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     combined: bool = False, npop0: int = 0, reverse_shadows: bool = True,
+    npops: "tuple | None" = None,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2368,7 +2378,7 @@ def frame_tiles(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
         combined=combined and mxu, npop0=npop0,
-        reverse_shadows=reverse_shadows,
+        reverse_shadows=reverse_shadows, npops=npops,
     )
     extra_in = [cmat] if mxu else []
     extra_specs = _MXU_SPECS if mxu else []

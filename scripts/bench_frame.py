@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--nleaf", type=int, default=0)
     ap.add_argument("--pop0", type=int, default=0,
                     help="bounce-0 pop width (0 = same as --pop)")
+    ap.add_argument("--pops", default=None,
+                    help="comma list: per-bounce pop widths for the fused "
+                         "kernel (overrides --pop/--pop0), e.g. 2,4,8,8")
     ap.add_argument("--combined", action="store_true",
                     help="combined leaf+inner iteration schedule")
     ap.add_argument("--tag", default=None)
@@ -140,6 +143,8 @@ def main():
                     cmat=packed[4] if len(packed) >= 5 else None,
                     npop=args.pop, nleaf=args.nleaf,
                     combined=args.combined, npop0=args.pop0,
+                    npops=(tuple(int(x) for x in args.pops.split(","))
+                           if args.pops else None),
                 )
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
@@ -155,6 +160,7 @@ def main():
         + ("_mxu" if len(packed) >= 5 else "")
         + (f"_pop{args.pop}" if args.pop != 2 else "")
         + (f"_p0{args.pop0}" if args.pop0 else "")
+        + (f"_ps{args.pops.replace(',', '')}" if args.pops else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
         + ("_comb" if args.combined else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")

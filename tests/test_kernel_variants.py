@@ -328,3 +328,32 @@ class TestMXULeaf:
         h_r, h_f = c_ref(o, d), c_fb(o, d)
         assert np.array_equal(np.asarray(h_r.t), np.asarray(h_f.t))
         assert np.array_equal(np.asarray(h_r.idx), np.asarray(h_f.idx))
+
+
+class TestReverseShadows:
+    """Light-origin shadow segments produce the same image as forward
+    tracing (the occlusion window maps exactly; see shade_hit). Uses the
+    portable jax packet variant — the transform lives in shade_hit, so
+    it is the same code path the Pallas kernels get their inputs from."""
+
+    def test_image_matches_forward(self):
+        from parallel_ray_tracer_tpu.config import RenderConfig
+        from parallel_ray_tracer_tpu import pipeline
+        from parallel_ray_tracer_tpu.ops import render as render_ops
+
+        cfg = RenderConfig(width=64, height=48, scene="car_only",
+                           bounces=2, bvh_heuristic=6,
+                           tile_rows=16, tile_cols=64, use_native=False)
+        pipe = pipeline.prepare(cfg)
+        kw = dict(bounces=cfg.bounces, leaf_size=pipe.leaf_size,
+                  stack_depth=pipe.stack_depth, tile_rows=cfg.tile_rows,
+                  tile_cols=cfg.tile_cols)
+        fwd = np.asarray(render_ops.render_bvh_jax(
+            pipe.ds, pipe.dbvh, pipe.camera(), 64, 48,
+            reverse_shadows=False, **kw))
+        rev = np.asarray(render_ops.render_bvh_jax(
+            pipe.ds, pipe.dbvh, pipe.camera(), 64, 48,
+            reverse_shadows=True, **kw))
+        # fp-marginal shadow-edge lanes may flip; nothing else may move.
+        frac = (np.abs(fwd - rev) > 1e-5).mean()
+        assert frac <= 2e-3, f"{frac:.4%} of values differ"
