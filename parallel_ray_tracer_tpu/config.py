@@ -134,8 +134,10 @@ class RenderConfig:
     # and a visit is one (32,16)@(16,1024) matmul (bf16x3 operand split
     # for f32-grade accuracy; see pallas_trace._mxu_leaf_closest).
     # Measured ~1.6x the VPU leaf (433 -> 274 ns per 8-triangle visit).
-    # Applies to the dual-pop pallas kernels (bvh_width >= 4, leaf_size 8,
-    # non-streamed); other configurations fall back to the VPU leaf.
+    # Applies to the dual-pop pallas kernels (bvh_width >= 4, leaf_size 8
+    # or 4 — at L=4 a visit batches twice as many groups into the same
+    # MXU row budget, see pallas_trace.default_nleaf; non-streamed);
+    # other configurations fall back to the VPU leaf.
     mxu_leaf: bool = True
 
     # Score SAH splits by true surface area instead of the reference's

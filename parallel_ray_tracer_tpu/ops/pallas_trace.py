@@ -985,15 +985,15 @@ def _rmat_load(rsc, o: Vec3, d: Vec3):
     return _split_bf16(rsc[:, :])
 
 
-def _mxu_rows(outm):
-    """Per ray row r: (t-candidates, det) as (8,128) vregs, sublane = tri."""
+def _mxu_rows(outm, L: int = 8):
+    """Per ray row r: (t-candidates, det) as (L,128) vregs, sublane = tri."""
     for r in range(SUBLANES):
         blk = outm[:, r * LANES : (r + 1) * LANES]
-        det = blk[0:8, :]
+        det = blk[0:L, :]
         invdet = 1.0 / det
-        tj = blk[8:16, :] * invdet
-        u = blk[16:24, :] * invdet
-        v = blk[24:32, :] * invdet
+        tj = blk[L : 2 * L, :] * invdet
+        u = blk[2 * L : 3 * L, :] * invdet
+        v = blk[3 * L : 4 * L, :] * invdet
         hit = (
             (jnp.abs(det) >= EPSILON)
             & (tj > EPSILON)
@@ -1005,13 +1005,13 @@ def _mxu_rows(outm):
 
 
 def _mxu_winners(outm, L):
-    """Per-group winner planes from a (32, 1024) quantity block.
+    """Per-group winner planes from a (4L, 1024) quantity block.
 
     Returns (tnew, jnew, ndnew) as (8, 128) planes. Within the leaf the
     smallest triangle index wins ties, matching the VPU sequential loop."""
-    jio = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    jio = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
     trows, jrows, ndrows = [], [], []
-    for tcand, det in _mxu_rows(outm):
+    for tcand, det in _mxu_rows(outm, L):
         rmin = jnp.min(tcand, axis=0, keepdims=True)           # (1,128)
         jc = jnp.where(tcand <= rmin, jio, L)
         jmin = jnp.min(jc, axis=0, keepdims=True)
@@ -1049,7 +1049,7 @@ def _mxu_attr_select(tri_row, arow, better, jnew, av, L):
     return av
 
 
-def _mxu_occl_merge(outm, blocked, max_dist2):
+def _mxu_occl_merge(outm, blocked, max_dist2, L: int = 8):
     """Any-hit merge on the raw MT numerators — no division.
 
     The closest path must divide (winner t values are compared across
@@ -1071,10 +1071,10 @@ def _mxu_occl_merge(outm, blocked, max_dist2):
     rows = []
     for r in range(SUBLANES):
         blk = outm[:, r * LANES : (r + 1) * LANES]
-        det = blk[0:8, :]
-        tnum = blk[8:16, :]
-        unum = blk[16:24, :]
-        vnum = blk[24:32, :]
+        det = blk[0:L, :]
+        tnum = blk[L : 2 * L, :]
+        unum = blk[2 * L : 3 * L, :]
+        vnum = blk[3 * L : 4 * L, :]
         d2 = det * det
         pu = unum * det
         pv = vnum * det
@@ -1219,11 +1219,19 @@ def _leaf_pops_null(lstack, lsp, nleaf: int, nullg):
     return gs, jnp.maximum(lsp - nleaf, 0)
 
 
-def _mxu_leaf_quants_n(cmi, Rh, Rl, gs):
-    """(32*len(gs), 1024) MT quantities of several leaf groups via ONE
-    triple-dot (M = 32*n <= 128 rides a single MXU pass)."""
+def default_nleaf(npop: int, L: int) -> int:
+    """MXU leaf pop width: fill one MXU pass (M = 4L * nleaf rows) at wide
+    pop (128 rows), half a pass at dual pop (64 rows) — for L=8 the
+    measured-best 4/2, and the same row budget at finer granularities."""
+    return max(2, (128 if npop > 2 else 64) // (4 * L))
+
+
+def _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L: int = 8):
+    """(4L*len(gs), 1024) MT quantities of several leaf groups via ONE
+    triple-dot (M = 4L*n <= 128 rides a single MXU pass)."""
+    GR = 4 * L
     crow = jnp.concatenate(
-        [cmi[pl.ds(g * 32, 32), :] for g in gs], axis=0
+        [cmi[pl.ds(g * GR, GR), :] for g in gs], axis=0
     )
     Ch = crow[:, 0:16]
     Cl = crow[:, 16:32]
@@ -1241,21 +1249,23 @@ def _mxu_leaf_closest_n(cmi, Rh, Rl, gs, t, idx, nd, L):
     """n-group MXU closest-hit update; sequential strict-< merges keep
     duplicate (padded) pops idempotent. Returns (t, idx, nd, selects)
     with selects = [(g, better, jnew)] for the attribute pass."""
-    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs)
+    GR = 4 * L
+    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L)
     selects = []
     for n, g in enumerate(gs):
-        tn, jn, ndn = _mxu_winners(outm[32 * n : 32 * (n + 1), :], L)
+        tn, jn, ndn = _mxu_winners(outm[GR * n : GR * (n + 1), :], L)
         t, idx, nd, better = _mxu_merge_winner(g, tn, jn, ndn, t, idx, nd, L)
         selects.append((g, better, jn))
     return t, idx, nd, selects
 
 
-def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2):
+def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2, L: int = 8):
     """n-group MXU any-hit update (duplicate pops are idempotent)."""
-    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs)
+    GR = 4 * L
+    outm = _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L)
     for n in range(len(gs)):
-        blocked = _mxu_occl_merge(outm[32 * n : 32 * (n + 1), :],
-                                  blocked, max_dist2)
+        blocked = _mxu_occl_merge(outm[GR * n : GR * (n + 1), :],
+                                  blocked, max_dist2, L)
     return blocked
 
 
@@ -1438,7 +1448,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        cnt[2] + pad)
             gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
             blocked = _mxu_leaf_occluded_n(
-                cmi, Rh, Rl, gs, blocked, max_dist2
+                cmi, Rh, Rl, gs, blocked, max_dist2, L
             )
             all_blocked = jnp.min(blocked)
             t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
@@ -1463,7 +1473,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                     Rh, Rl, cmi = mxu
                     gs, lsp = _leaf_pops(lstack, lsp, nleaf)
                     blocked = _mxu_leaf_occluded_n(
-                        cmi, Rh, Rl, gs, blocked, max_dist2
+                        cmi, Rh, Rl, gs, blocked, max_dist2, L
                     )
                 else:
                     lsp = lsp - 1
@@ -1660,7 +1670,7 @@ def _occluded_pair_kernel(L: int, arity: int, compressed: bool = False,
             Rh, Rl = (RhA, RlA) if which == 0 else (RhB, RlB)
             md2 = m2A if which == 0 else m2B
             gs, lsp = _leaf_pops(lst, lsp, nleaf)
-            blocked = _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, md2)
+            blocked = _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, md2, L)
             return lsp, blocked
 
         def inner_step(which, isp, lsp, blocked):
@@ -2332,9 +2342,9 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             st = state0
             for b in range(bounces):
                 w = npops[min(b, len(npops) - 1)]
-                st = make_bounce(w, 4 if (mxu and w > 2) else 2)(b, st)
+                st = make_bounce(w, default_nleaf(w, L) if mxu else 2)(b, st)
         elif npop0 and npop0 != npop and bounces > 1:
-            b0 = make_bounce(npop0, 4 if (mxu and npop0 > 2) else 2)
+            b0 = make_bounce(npop0, default_nleaf(npop0, L) if mxu else 2)
             st = b0(0, state0)
             st = jax.lax.fori_loop(1, bounces, bounce, st)
         else:
@@ -2376,7 +2386,7 @@ def frame_tiles(
     assert npop in (2, 4, 8)
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
-        npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+        npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
         combined=combined and mxu, npop0=npop0,
         reverse_shadows=reverse_shadows, npops=npops,
     )
@@ -2511,7 +2521,7 @@ def closest_tiles(
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
-            mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
             combined=combined and mxu,
         )
         scratch = [
@@ -2600,7 +2610,7 @@ def closest_tiles_full(
     elif dual and arity >= 4:
         kernel = _closest_dual_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
-            npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
             combined=combined and mxu,
         )
         scratch = [
@@ -2714,7 +2724,7 @@ def occluded_tiles(
     elif dual and arity >= 4:
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
-            mxu=mxu, npop=npop, nleaf=nleaf or (4 if (mxu and npop > 2) else 2),
+            mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
             combined=combined and mxu,
         )
         scratch = [

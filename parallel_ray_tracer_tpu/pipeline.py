@@ -352,7 +352,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
             cfg.mxu_leaf
             and cfg.dual_pop
             and cfg.bvh_width >= 4
-            and leaf_size == 8
+            and leaf_size in (4, 8)
             and not stream
             and packed.cmat is not None
         )

@@ -357,3 +357,55 @@ class TestReverseShadows:
         # fp-marginal shadow-edge lanes may flip; nothing else may move.
         frac = (np.abs(fwd - rev) > 1e-5).mean()
         assert frac <= 2e-3, f"{frac:.4%} of values differ"
+
+
+@pytest.mark.parametrize("npop", [2, 8])
+def test_mxu_leaf4_matches_vpu(npop):
+    """L=4 leaf groups on the MXU path (finer culling: 8 groups of 4
+    triangles fill the same 128-row MXU pass that 4 groups of 8 do).
+
+    The generalized _mxu_* helpers slice (4L)-row group blocks; results
+    must match the VPU scalar leaf at L=4 to bf16x3 accuracy, for both
+    the dual-pop (npop=2) and wide-pop (npop=8) schedules."""
+    sc = synthetic_scene(2000, seed=3)
+    tv = sc.triangle_vertices()
+    bvh = build_bvh(tv, heuristic=6, leaf_threshold=4)
+    flat = flatten_bvh(bvh, tv, leaf_size=4)
+    packed = pallas_trace.pack_bvh4(flat, tv)
+    assert packed.cmat.shape[0] == (packed.tri.shape[0]) * 16
+    sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=npop)
+    R = pallas_trace.PACKET
+    rng = np.random.RandomState(1)
+    o = Vec3(*(jnp.asarray(rng.uniform(-6, 6, R).astype(np.float32))
+               for _ in range(3)))
+    dn = rng.normal(size=(3, R)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=0, keepdims=True)
+    d = Vec3(*(jnp.asarray(x) for x in dn))
+    pd = (
+        jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+        jnp.asarray(packed.tri),
+    )
+    attr = pallas_trace.pack_attr(
+        flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+    )
+    c_vpu, o_vpu = pallas_trace.make_tracer(
+        pd, 4, interpret=True, stack_depth=sd, dual=True, npop=npop
+    )
+    pd_m = pd + (jnp.asarray(attr), _interleave_cmat(packed.cmat))
+    c_mxu, o_mxu = pallas_trace.make_tracer(
+        pd_m, 4, interpret=True, stack_depth=sd, dual=True, npop=npop
+    )
+    h_v, h_m = c_vpu(o, d), c_mxu(o, d)
+    t_v, t_m = np.asarray(h_v.t), np.asarray(h_m.t)
+    miss_v, miss_m = t_v > 1e30, t_m > 1e30
+    assert (miss_v == miss_m).mean() > 0.999
+    both = ~miss_v & ~miss_m
+    idx_v, idx_m = np.asarray(h_v.idx), np.asarray(h_m.idx)
+    assert (idx_v[both] == idx_m[both]).mean() > 0.99
+    same = both & (idx_v == idx_m)
+    rel = np.abs(t_v[same] - t_m[same]) / np.maximum(t_v[same], 1e-9)
+    assert rel.mean() < 2e-4 and rel.max() < 2e-2
+    m2 = jnp.full(o.x.shape, 25.0, jnp.float32)
+    b_v = np.asarray(o_vpu(o, d, m2))
+    b_m = np.asarray(o_mxu(o, d, m2))
+    assert (b_v == b_m).mean() > 0.999
