@@ -82,3 +82,22 @@ def test_fused_rejects_spheres(tiny_scene):
     pipe = pipeline.prepare(cfg, scene=sc)
     with pytest.raises(AssertionError):
         pipe.render(variant="fused", interpret=True)
+
+
+def test_fused_leaf4_mxu_matches_leaf8(tiny_scene):
+    """leaf_size=4 with the MXU leaf path (8 groups of 4 per visit) must
+    render the same frame as the default leaf_size=8 configuration."""
+    imgs = {}
+    for ls in (8, 4):
+        cfg = RenderConfig(
+            width=32, height=32, bounces=3, bvh_heuristic=6,
+            tile_rows=8, tile_cols=128, cam_pos=(0.0, 4.0, -9.0),
+            cam_rot=(20.0, 0.0, 0.0), use_native=False,
+            leaf_size=ls, leaf_threshold=ls, mxu_leaf=True,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        assert len(pipe.packed_dev) == 5  # cmat present -> MXU leaf active
+        imgs[ls] = np.asarray(pipe.render(variant="fused", interpret=True))
+    diff = np.abs(imgs[4] - imgs[8])
+    assert (diff.max(axis=-1) < 1e-3).mean() > 0.99, diff.max()
+    assert np.median(diff) < 1e-5
