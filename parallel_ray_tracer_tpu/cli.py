@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SAH_BIN_SIZE; -1 = per-centroid brute force")
     p.add_argument("--leaf-threshold", type=int, default=8,
                    help="BVH_ELEMENT_THRESHOLD")
+    p.add_argument("--leaf-size", type=int, default=None, choices=(4, 8),
+                   help="triangles per packed leaf group row (default 8; "
+                        "4 = finer culling, 2x groups per MXU leaf visit)")
     p.add_argument("--max-depth", type=int, default=32, help="BVH_MAX_ITER")
     p.add_argument("--seed", type=int, default=1,
                    help="SEED; 0 = time-based (options.h:66-71)")
@@ -168,6 +171,7 @@ def config_from_args(args) -> RenderConfig:
         stream=args.stream,
         true_sah=args.true_sah,
         mxu_leaf=args.mxu_leaf,
+        leaf_size=args.leaf_size,
     )
 
 

@@ -70,6 +70,8 @@ def main():
                          "kernel (overrides --pop/--pop0), e.g. 2,4,8,8")
     ap.add_argument("--combined", action="store_true",
                     help="combined leaf+inner iteration schedule")
+    ap.add_argument("--leaf-size", type=int, default=None,
+                    help="triangles per leaf group (4 or 8; default 8)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -77,7 +79,8 @@ def main():
         width=W, height=H, scene=args.scene, bounces=args.bounces,
         bvh_heuristic=6, tile_rows=32, tile_cols=32,
         presplit=args.presplit, true_sah=args.true_sah, mxu_leaf=args.mxu,
-        pop_width=args.pop,
+        pop_width=args.pop, leaf_size=args.leaf_size,
+        leaf_threshold=(args.leaf_size or 2),
     )
     pipe = pipeline.prepare(cfg)
     leaf = pipe.leaf_size
@@ -94,6 +97,7 @@ def main():
         "presplit": args.presplit, "true_sah": args.true_sah,
         "mxu": len(packed) >= 5,
         "n_tris": pipe.scene.num_triangles,
+        "leaf_size": leaf,
     }
 
     def rays(eps):
