@@ -2382,7 +2382,7 @@ def frame_tiles(
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert arity >= 4, "fused frame kernel needs bvh_width >= 4"
     num_lights = int(lamb.shape[0]) - 1
-    mxu = cmat is not None and arity >= 4 and leaf_size == SUBLANES
+    mxu = cmat is not None and arity >= 4 and leaf_size in (4, SUBLANES)
     assert npop in (2, 4, 8)
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
@@ -2507,7 +2507,7 @@ def closest_tiles(
     # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
     # non-streamed); ineligible calls fall back to the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
-        and leaf_size == SUBLANES
+        and leaf_size in (4, SUBLANES)
     extra_in = []
     extra_specs = []
     if mxu:
@@ -2594,7 +2594,7 @@ def closest_tiles_full(
     # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
     # non-streamed); ineligible calls fall back to the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
-        and leaf_size == SUBLANES
+        and leaf_size in (4, SUBLANES)
     extra_in = []
     extra_specs = []
     if mxu:
@@ -2683,7 +2683,7 @@ def occluded_tiles(
     # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
     # non-streamed); ineligible calls fall back to the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
-        and leaf_size == SUBLANES
+        and leaf_size in (4, SUBLANES)
     extra_in = []
     extra_specs = []
     if mxu:

@@ -397,6 +397,9 @@ def test_mxu_leaf4_matches_vpu(npop):
     )
     h_v, h_m = c_vpu(o, d), c_mxu(o, d)
     t_v, t_m = np.asarray(h_v.t), np.asarray(h_m.t)
+    # bf16x3 rounding differs from the VPU's f32 MT on some rays; exact
+    # equality would mean the wrapper silently fell back to the VPU leaf.
+    assert not np.array_equal(t_v, t_m), "MXU path not taken at L=4"
     miss_v, miss_m = t_v > 1e30, t_m > 1e30
     assert (miss_v == miss_m).mean() > 0.999
     both = ~miss_v & ~miss_m
