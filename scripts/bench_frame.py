@@ -72,6 +72,8 @@ def main():
                     help="combined leaf+inner iteration schedule")
     ap.add_argument("--leaf-size", type=int, default=None,
                     help="triangles per leaf group (4 or 8; default 8)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16-pair compressed box rows (conservative)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -81,6 +83,7 @@ def main():
         presplit=args.presplit, true_sah=args.true_sah, mxu_leaf=args.mxu,
         pop_width=args.pop, leaf_size=args.leaf_size,
         leaf_threshold=(args.leaf_size or 2),
+        bf16_bvh=args.bf16,
     )
     pipe = pipeline.prepare(cfg)
     leaf = pipe.leaf_size
@@ -98,6 +101,7 @@ def main():
         "mxu": len(packed) >= 5,
         "n_tris": pipe.scene.num_triangles,
         "leaf_size": leaf,
+        "bf16": pipe.compressed,
     }
 
     def rays(eps):
@@ -114,11 +118,13 @@ def main():
                 closest_fn, occluded_fn = pallas_trace.make_tracer(
                     packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
                     npop=args.pop, combined=args.combined,
+                    compressed=pipe.compressed,
                 )
                 if args.pop0 and args.pop0 != args.pop:
                     c0, o0 = pallas_trace.make_tracer(
                         packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
                         npop=args.pop0, combined=args.combined,
+                        compressed=pipe.compressed,
                     )
                     closest_fn = [c0, closest_fn]
                     occluded_fn = [o0, occluded_fn]
@@ -144,6 +150,7 @@ def main():
                 col = pallas_trace.frame_tiles(
                     *packed[:4], lamb, o2, d2, bounces=args.bounces,
                     leaf_size=leaf, stack_depth=sdepth,
+                    compressed=pipe.compressed,
                     cmat=packed[4] if len(packed) >= 5 else None,
                     npop=args.pop, nleaf=args.nleaf,
                     combined=args.combined, npop0=args.pop0,
@@ -166,6 +173,7 @@ def main():
         + (f"_p0{args.pop0}" if args.pop0 else "")
         + (f"_ps{args.pops.replace(',', '')}" if args.pops else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
+        + ("_bf16" if args.bf16 else "")
         + ("_comb" if args.combined else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")
     )
