@@ -1220,10 +1220,13 @@ def _leaf_pops_null(lstack, lsp, nleaf: int, nullg):
 
 
 def default_nleaf(npop: int, L: int) -> int:
-    """MXU leaf pop width: fill one MXU pass (M = 4L * nleaf rows) at wide
-    pop (128 rows), half a pass at dual pop (64 rows) — for L=8 the
-    measured-best 4/2, and the same row budget at finer granularities."""
-    return max(2, (128 if npop > 2 else 64) // (4 * L))
+    """MXU leaf pop width: half an MXU pass (M = 4L * nleaf = 64 rows) at
+    every pop width. For L=8 that is nleaf=2 — measured best at wide pop
+    on the production frame (253.7 ms vs 264.5 at nleaf=4 and 306.6 at
+    nleaf=8, metrics/bench_frame_b4_tsah_mxu_pop8_p02_{nl2,nl8}.json +
+    r3 recheck): popping fewer leaf groups per visit wastes fewer padded
+    NULL-group MXU rows than a full 128-row pass saves in issue count."""
+    return max(2, 64 // (4 * L))
 
 
 def _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L: int = 8):
