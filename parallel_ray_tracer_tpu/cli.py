@@ -40,12 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--bounces", type=int, default=4)
-    p.add_argument("--variant", default="pallas",
-                   choices=("pallas", "fused", "jax", "bruteforce"),
-                   help="pallas = pass-based production kernels; fused = "
-                        "whole-frame single-launch kernel (sphere-free "
-                        "scenes); jax = portable lax.while_loop packets; "
-                        "bruteforce = USE_BVH=0 oracle")
+    p.add_argument("--variant", default="auto",
+                   choices=("auto", "pallas", "fused", "jax", "bruteforce"),
+                   help="auto = fused whole-frame kernel when the scene "
+                        "supports it (sphere-free, resident), else pallas; "
+                        "pallas = pass-based production kernels; fused = "
+                        "whole-frame single-launch kernel; jax = portable "
+                        "lax.while_loop packets; bruteforce = USE_BVH=0 "
+                        "oracle")
     p.add_argument("--no-bvh", action="store_true",
                    help="USE_BVH=0: brute-force all triangles")
     p.add_argument("--heuristic", type=int, default=6, choices=range(7),
@@ -192,8 +194,6 @@ def main(argv: Optional[list] = None) -> int:
 
     say = (lambda *a: None) if args.quiet or not distributed.is_primary() else print
 
-    say(f"# Host settings #\nbackend: {jax.default_backend()}, "
-        f"devices: {len(jax.devices())}, variant: {cfg.variant}")
     say(f"\n# Scene settings #\nscene: "
         f"{'synthetic:%d' % cfg.synthetic_triangles if cfg.synthetic_triangles else cfg.scene}, "
         f"resolution: {cfg.width}x{cfg.height}, bounces: {cfg.bounces}")
@@ -201,6 +201,10 @@ def main(argv: Optional[list] = None) -> int:
     t0 = time.perf_counter()
     pipe = pipeline.prepare(cfg)
     prep_s = time.perf_counter() - t0
+    variant = pipe.resolved_variant()
+    say(f"# Host settings #\nbackend: {jax.default_backend()}, "
+        f"devices: {len(jax.devices())}, variant: {variant}"
+        + (f" (auto)" if cfg.variant == "auto" else ""))
     say(f"\n# Bvh settings #\nuse_bvh: {cfg.use_bvh}, heuristic: "
         f"{cfg.bvh_heuristic}, sah_bins: {cfg.sah_bins}, leaf: "
         f"{pipe.leaf_size}, max_depth: {cfg.bvh_max_depth}, seed: {cfg.seed}, "
@@ -263,17 +267,22 @@ def main(argv: Optional[list] = None) -> int:
             "fused": pipe.packed_dev,
             "jax": pipe.dbvh,
             "bruteforce": pipe.ds,
-        }[cfg.variant]
+        }[variant]
         depth = (
-            pipe.pallas_stack_depth if cfg.variant in ("pallas", "fused")
+            pipe.pallas_stack_depth if variant in ("pallas", "fused")
             else pipe.stack_depth
         )
+        # Full single-device kernel schedule (dual/npop/stream/shadow
+        # knobs): --devices N must render exactly what --devices 1 does.
         return sharded.render_sharded(
             pipe.ds, tracer_data, cam, cfg.width, cfg.height, mesh,
             bounces=cfg.bounces, leaf_size=pipe.leaf_size,
             stack_depth=depth, tile_rows=cfg.tile_rows,
-            tile_cols=cfg.tile_cols, variant=cfg.variant,
+            tile_cols=cfg.tile_cols, variant=variant,
             interpret=args.interpret, compressed=pipe.compressed,
+            dual=cfg.dual_pop, stream=pipe.stream, npop=pipe.npop,
+            npop0=pipe.npop0, fast_light=cfg.fast_light,
+            reverse_shadows=cfg.reverse_shadows,
         )
 
     import jax.numpy as jnp

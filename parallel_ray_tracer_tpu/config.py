@@ -81,8 +81,13 @@ class RenderConfig:
     # float_align_compression → fuse benchmark story (gpu/*.bat):
     #   "bruteforce": pure-JAX all-triangles oracle (USE_BVH=0 analog)
     #   "jax": batched lax.while_loop BVH traversal (correct, portable)
-    #   "pallas": packet-traversal Pallas kernel (production path)
-    variant: str = "pallas"
+    #   "pallas": pass-based packet-traversal Pallas kernels
+    #   "fused": whole-frame single-launch kernel (headline path;
+    #            sphere-free resident scenes, bvh_width >= 4)
+    #   "auto": fused when the prepared state supports it, else pallas
+    #           (pipeline.Pipeline.resolved_variant) — so the default CLI
+    #           run IS the benchmark configuration.
+    variant: str = "auto"
     # bf16 AABB compression in the traversal kernel — the hbvh_t analog
     # (gpu/include/bvh.cuh:14-28), with conservative rounding (min down/max up)
     # instead of the reference's round-to-nearest.

@@ -37,13 +37,24 @@ def initialize(
     With no arguments, relies on the TPU environment's auto-detection
     (JAX resolves coordinator/process topology from the TPU metadata); a
     single-process run (or an already-initialized runtime) is a no-op.
+
+    The multiprocess decision must NOT touch the backend: querying
+    jax.process_count() would initialize it, after which
+    jax.distributed.initialize() can no longer join a coordinator — the
+    guard would always see process_count() == 1 and this function could
+    never fire on a real pod. Detect from explicit arguments and the
+    environment only: the coordinator env vars, or libtpu's
+    TPU_WORKER_HOSTNAMES (a comma-separated list on a multi-host slice,
+    the signal jax's own cluster auto-detection keys off).
     """
     multiprocess_env = (
         coordinator_address is not None
+        or (num_processes or 0) > 1
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
     )
-    if not multiprocess_env and jax.process_count() <= 1:
+    if not multiprocess_env:
         return
     try:
         jax.distributed.initialize(

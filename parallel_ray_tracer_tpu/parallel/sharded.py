@@ -34,7 +34,7 @@ from ..models.camera import Camera, ray_basis
 from ..models.device_scene import build_device_scene
 from ..ops import pallas_trace, trace_bvh
 from ..ops.render import generate_rays_tiled, tile_image_shape, tiles_to_image
-from ..ops.shade import trace_rays
+from ..ops.shade import occluded_from_closest, trace_rays
 from ..ops.trace_brute import make_tracer as make_brute_tracer
 from ..ops.vecmath import Vec3
 
@@ -70,7 +70,8 @@ def _pad_tiles(ntiles: int, n_devices: int) -> int:
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "stack_depth",
         "tile_rows", "tile_cols", "variant", "mesh", "interpret",
-        "compressed",
+        "compressed", "dual", "stream", "npop", "npop0", "fast_light",
+        "reverse_shadows",
     ),
 )
 def _render_sharded(
@@ -88,6 +89,12 @@ def _render_sharded(
     mesh: Mesh,
     interpret: bool,
     compressed: bool = False,
+    dual: bool = True,
+    stream: bool = False,
+    npop: int = 2,
+    npop0: int = 0,
+    fast_light: bool = True,
+    reverse_shadows: bool = True,
 ):
     K = tile_rows * tile_cols
     n_dev = mesh.devices.size
@@ -111,7 +118,9 @@ def _render_sharded(
         of = o_sh.reshape(nt_local * K)
         df = d_sh.reshape(nt_local * K)
         if variant == "fused":
-            # whole-frame kernel per device shard (sphere-free scenes)
+            # Whole-frame kernel per device shard (sphere-free scenes) at
+            # the full production schedule: per-bounce pop widths, MXU
+            # leaves (cmat row), reversed shadow packets.
             lamb = pallas_trace.pack_lights(ds_r)
             rows = of.x.shape[0] // pallas_trace.LANES
             col = pallas_trace.frame_tiles(
@@ -121,6 +130,7 @@ def _render_sharded(
                 bounces=bounces, leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, compressed=compressed,
                 cmat=tracer_r[4] if len(tracer_r) >= 5 else None,
+                npop=npop, npop0=npop0, reverse_shadows=reverse_shadows,
             ).reshape(nt_local * K)
             col = col.clamp(0.0, 1.0)
             return jnp.stack(
@@ -130,15 +140,33 @@ def _render_sharded(
             closest_fn, occluded_fn = pallas_trace.make_tracer(
                 tracer_r, leaf_size, interpret=interpret, ds=ds_r,
                 stack_depth=stack_depth, compressed=compressed,
+                dual=dual, stream=stream, npop=npop,
             )
+            if npop0 and npop0 != npop:
+                # Coherent primary bounce at its own (narrower) pop width,
+                # exactly as the single-device path (_render_bvh_pallas).
+                c0, o0 = pallas_trace.make_tracer(
+                    tracer_r, leaf_size, interpret=interpret, ds=ds_r,
+                    stack_depth=stack_depth, compressed=compressed,
+                    dual=dual, stream=stream, npop=npop0,
+                )
+                closest_fn = [c0, closest_fn]
+                occluded_fn = [o0, occluded_fn]
         elif variant == "jax":
             closest_fn, occluded_fn = trace_bvh.make_tracer(
                 tracer_r, ds_r, leaf_size, stack_depth, packet=K
             )
         else:
             closest_fn, occluded_fn = make_brute_tracer(ds_r)
+        if not fast_light:
+            # USE_BVH_FAST_LIGHT=0 parity: forward closest-hit shadows.
+            occluded_fn = (
+                [occluded_from_closest(c) for c in closest_fn]
+                if isinstance(closest_fn, list)
+                else occluded_from_closest(closest_fn)
+            )
         col = trace_rays(ds_r, closest_fn, occluded_fn, of, df, bounces,
-                         reverse_shadows=True)
+                         reverse_shadows=fast_light and reverse_shadows)
         col = col.clamp(0.0, 1.0)
         return jnp.stack([col.x, col.y, col.z], axis=-1).reshape(nt_local, K, 3)
 
@@ -177,17 +205,26 @@ def render_sharded(
     variant: str = "pallas",
     interpret: bool = False,
     compressed: bool = False,
+    dual: bool = True,
+    stream: bool = False,
+    npop: int = 2,
+    npop0: int = 0,
+    fast_light: bool = True,
+    reverse_shadows: bool = True,
 ):
     """Render with image tiles sharded over `mesh` (scene replicated).
 
-    tracer_data: packed_dev tuple for "pallas", DeviceBVH for "jax", or ds
-    again for "bruteforce".
+    tracer_data: packed_dev tuple for "pallas"/"fused", DeviceBVH for
+    "jax", or ds again for "bruteforce". dual/stream/npop/npop0/
+    fast_light/reverse_shadows carry the full single-device kernel
+    schedule so `--devices N` renders the image bit-identically to
+    `--devices 1` (tests/test_sharded.py).
     """
     cam_arrays = tuple(jnp.asarray(a) for a in ray_basis(cam, width, height))
     return _render_sharded(
         ds, tracer_data, cam_arrays, width, height, bounces, leaf_size,
         stack_depth, tile_rows, tile_cols, variant, mesh, interpret,
-        compressed,
+        compressed, dual, stream, npop, npop0, fast_light, reverse_shadows,
     )
 
 
@@ -211,6 +248,9 @@ def make_train_step(
     slot_map=None,
     interpret: bool = False,
     compressed: bool = False,
+    dual: bool = True,
+    stream: bool = False,
+    npop: int = 2,
 ):
     """Jitted SGD step optimizing vertex positions against a target image.
 
@@ -262,6 +302,7 @@ def make_train_step(
             return pallas_trace.make_tracer(
                 tracer_data, leaf_size, interpret=interpret, ds=ds,
                 stack_depth=stack_depth, compressed=compressed,
+                dual=dual, stream=stream, npop=npop,
             )
         if variant == "jax":
             return trace_bvh.make_tracer(

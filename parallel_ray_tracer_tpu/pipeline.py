@@ -71,6 +71,32 @@ class Pipeline:
             pos=self.cfg.cam_pos, rot=self.cfg.cam_rot, fov=self.cfg.cam_fov
         )
 
+    def resolved_variant(self, variant: Optional[str] = None) -> str:
+        """Resolve "auto" (and None) to a concrete tracer variant.
+
+        "auto" picks the fastest path the prepared state supports: the
+        fused whole-frame kernel (the headline configuration) whenever the
+        scene is sphere-free, resident (non-streamed), traced with the
+        any-hit shadow kernels, and packed at bvh_width >= 4 — otherwise
+        the pass-based pallas kernels. USE_BVH=0 always means bruteforce.
+        """
+        cfg = self.cfg
+        variant = variant or cfg.variant
+        if not cfg.use_bvh:
+            return "bruteforce"
+        if variant != "auto":
+            return variant
+        fused_ok = (
+            self.packed_dev is not None
+            and len(self.packed_dev) >= 4
+            and cfg.bvh_width >= 4
+            and not self.stream
+            and cfg.fast_light
+            and cfg.tile_rows * cfg.tile_cols == pallas_trace.PACKET
+            and int(self.ds.sph_r.shape[0]) == 0
+        )
+        return "fused" if fused_ok else "pallas"
+
     def render(
         self,
         cam: Optional[Camera] = None,
@@ -84,7 +110,7 @@ class Pipeline:
         cam = cam or self.camera()
         width = width or cfg.width
         height = height or cfg.height
-        variant = variant or (cfg.variant if cfg.use_bvh else "bruteforce")
+        variant = self.resolved_variant(variant)
 
         if variant == "bruteforce":
             return render_ops.render_bruteforce(
@@ -146,7 +172,7 @@ class Pipeline:
             jnp.asarray(a) for a in ray_basis(cam, cfg.width, cfg.height)
         )
         y0 = jnp.int32(y0)  # dynamic: bands share one compiled program
-        variant = variant or (cfg.variant if cfg.use_bvh else "bruteforce")
+        variant = self.resolved_variant(variant)
         if variant == "bruteforce":
             return render_ops._render_bruteforce(
                 self.ds, cam_arrays, cfg.width, rows, cfg.bounces,
@@ -157,7 +183,17 @@ class Pipeline:
                 self.ds, self.dbvh, cam_arrays, cfg.width, rows,
                 cfg.bounces, self.leaf_size, self.stack_depth,
                 cfg.tile_rows, cfg.tile_cols, cfg.fast_light,
-                y_offset=y0,
+                y_offset=y0, reverse_shadows=cfg.reverse_shadows,
+            )
+        if variant == "fused":
+            assert int(self.ds.sph_r.shape[0]) == 0, \
+                "fused band render requires a sphere-free scene"
+            return render_ops._render_bvh_fused(
+                self.ds, self.packed_dev, cam_arrays, cfg.width, rows,
+                cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,
+                interpret, self.pallas_stack_depth, y_offset=y0,
+                compressed=self.compressed, npop=self.npop,
+                npop0=self.npop0, reverse_shadows=cfg.reverse_shadows,
             )
         if variant == "pallas":
             return render_ops._render_bvh_pallas(
@@ -166,6 +202,7 @@ class Pipeline:
                 interpret, cfg.fast_light, self.pallas_stack_depth,
                 y_offset=y0, compressed=self.compressed, dual=cfg.dual_pop,
                 stream=self.stream, npop=self.npop, npop0=self.npop0,
+                reverse_shadows=cfg.reverse_shadows,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
