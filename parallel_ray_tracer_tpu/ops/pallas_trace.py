@@ -1195,6 +1195,36 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     return isp, lsp
 
 
+def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                          isp, lsp, npop: int, arity: int,
+                          compressed: bool = False):
+    """Width-switched wide pop: visit the pending inner nodes at the
+    narrowest power-of-two width {2, 4, .., npop} that covers them.
+
+    The fixed-width schedule pads every iteration to npop NULL-node
+    slots; the visit profile (metrics/profile_visits_pop8.json) shows the
+    pending stack is usually far shallower than 8 (mean real pops ~2.5 on
+    the coherent pass), so most of the pop8 slab work was padding. A
+    scalar branch on the pending count costs two compares + a jump and
+    replaces that padding with the matching narrower visit body. Every
+    width is image-identical (same pushes, same order), so this is a pure
+    schedule change."""
+    def mk(n):
+        def f(args):
+            return _wide_inner_visit(
+                qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                args[0], args[1], n, arity, compressed,
+            )
+        return f
+
+    f24 = mk(2) if npop < 4 else (
+        lambda args: jax.lax.cond(args[0] > 2, mk(4), mk(2), args)
+    )
+    if npop < 8:
+        return f24((isp, lsp))
+    return jax.lax.cond(isp > 4, mk(8), f24, (isp, lsp))
+
+
 def _leaf_pops(lstack, lsp, nleaf: int):
     """Pop up to `nleaf` pending leaf groups; short pops repeat the last
     group (idempotent under the strict-< closest merge and the max-combine
@@ -1275,7 +1305,8 @@ def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2, L: int = 8):
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
                       counters: bool = False, mxu=None, npop: int = 2,
-                      nleaf: int = 2, combined: bool = False):
+                      nleaf: int = 2, combined: bool = False,
+                      adaptive: bool = False):
     """Full multi-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
@@ -1386,7 +1417,12 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                         else (isp < 2).astype(jnp.int32)
                     )
                     cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
-                if npop > 2:
+                if adaptive and npop > 2:
+                    isp, lsp = _adaptive_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                elif npop > 2:
                     isp, lsp = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
                         npop, arity, compressed,
@@ -1421,7 +1457,8 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
                        counters: bool = False, mxu=None, npop: int = 2,
-                       nleaf: int = 2, combined: bool = False):
+                       nleaf: int = 2, combined: bool = False,
+                       adaptive: bool = False):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_visits,
@@ -1501,7 +1538,12 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                     )
                     cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                if npop > 2:
+                if adaptive and npop > 2:
+                    isp, lsp = _adaptive_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                elif npop > 2:
                     isp, lsp = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                         npop, arity, compressed,
@@ -1532,7 +1574,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False, counters: bool = False,
                          mxu: bool = False, npop: int = 2, nleaf: int = 2,
-                         combined: bool = False):
+                         combined: bool = False, adaptive: bool = False):
     """Multi-pop closest hit; with n_attr=12 also tracks surface attributes.
 
     mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
@@ -1567,7 +1609,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, combined=combined,
+            npop=npop, nleaf=nleaf, combined=combined, adaptive=adaptive,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1589,7 +1631,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
                           counters: bool = False, mxu: bool = False,
                           npop: int = 2, nleaf: int = 2,
-                          combined: bool = False):
+                          combined: bool = False, adaptive: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
@@ -1609,7 +1651,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, combined=combined,
+            npop=npop, nleaf=nleaf, combined=combined, adaptive=adaptive,
         )
         if counters:
             blocked, cnt = res
@@ -2179,7 +2221,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         npop: int = 2, nleaf: int = 2,
                         combined: bool = False, npop0: int = 0,
                         reverse_shadows: bool = True,
-                        npops: "tuple | None" = None):
+                        npops: "tuple | None" = None,
+                        adaptive: bool = False):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
@@ -2239,7 +2282,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             t, _, nd, av = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
-                combined=combined and mxu,
+                combined=combined and mxu, adaptive=adaptive,
             )
             is_hit = t < jnp.float32(T_MAX)
             # miss: final += multiplier * ambient, lane dies
@@ -2313,6 +2356,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                     qbox, qmeta, tri, so, sd, sinv, soi, sm2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
                     npop=npop, nleaf=nleaf, combined=combined and mxu,
+                    adaptive=adaptive,
                 )
                 vis = (
                     jnp.logical_not(backface).astype(jnp.float32)
@@ -2364,6 +2408,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
         "npop", "nleaf", "combined", "npop0", "reverse_shadows", "npops",
+        "adaptive",
     ),
 )
 def frame_tiles(
@@ -2371,7 +2416,7 @@ def frame_tiles(
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     combined: bool = False, npop0: int = 0, reverse_shadows: bool = True,
-    npops: "tuple | None" = None,
+    npops: "tuple | None" = None, adaptive: bool = False,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2391,7 +2436,7 @@ def frame_tiles(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
         combined=combined and mxu, npop0=npop0,
-        reverse_shadows=reverse_shadows, npops=npops,
+        reverse_shadows=reverse_shadows, npops=npops, adaptive=adaptive,
     )
     extra_in = [cmat] if mxu else []
     extra_specs = _MXU_SPECS if mxu else []
@@ -2475,7 +2520,7 @@ def _stream_scratch(n_rings: int):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf", "combined",
+        "stream", "counters", "npop", "nleaf", "combined", "adaptive",
     ),
 )
 def closest_tiles(
@@ -2483,6 +2528,7 @@ def closest_tiles(
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
     cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
+    adaptive: bool = False,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2525,7 +2571,7 @@ def closest_tiles(
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu,
+            combined=combined and mxu, adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -2566,7 +2612,7 @@ def closest_tiles(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "npop", "nleaf", "combined",
+        "stream", "npop", "nleaf", "combined", "adaptive",
     ),
 )
 def closest_tiles_full(
@@ -2574,6 +2620,7 @@ def closest_tiles_full(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
+    adaptive: bool = False,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -2614,7 +2661,7 @@ def closest_tiles_full(
         kernel = _closest_dual_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
             npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu,
+            combined=combined and mxu, adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -2656,6 +2703,7 @@ def closest_tiles_full(
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
         "stream", "counters", "npop", "nleaf", "combined", "paired",
+        "adaptive",
     ),
 )
 def occluded_tiles(
@@ -2663,7 +2711,7 @@ def occluded_tiles(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
-    combined: bool = False, paired: bool = False,
+    combined: bool = False, paired: bool = False, adaptive: bool = False,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2728,7 +2776,7 @@ def occluded_tiles(
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu,
+            combined=combined and mxu, adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -2766,7 +2814,8 @@ def occluded_tiles(
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 stack_depth: int = STACK_DEPTH, dual: bool = False,
                 compressed: bool = False, stream: bool = False,
-                npop: int = 2, combined: bool = False):
+                npop: int = 2, combined: bool = False,
+                adaptive: bool = False):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
     packed_dev: (cbox, cmeta, tri[, attr][, cmi]) device arrays from a
@@ -2798,6 +2847,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, dual=dual, compressed=compressed,
                 stream=stream, cmat=cmat, npop=npop, combined=combined,
+                adaptive=adaptive,
             )
             return HitFull(
                 t=h.t.reshape(R), idx=h.idx.reshape(R),
@@ -2809,7 +2859,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop, combined=combined,
+            npop=npop, combined=combined, adaptive=adaptive,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -2825,7 +2875,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop, combined=combined,
+            npop=npop, combined=combined, adaptive=adaptive,
         )
         return blocked.reshape(R)
 

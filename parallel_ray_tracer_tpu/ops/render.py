@@ -241,7 +241,7 @@ def render_bvh_jax(
     static_argnames=(
         "width", "height", "bounces", "leaf_size", "tile_rows", "tile_cols",
         "interpret", "fast_light", "stack_depth", "compressed", "dual",
-        "stream", "npop", "npop0", "reverse_shadows",
+        "stream", "npop", "npop0", "reverse_shadows", "adaptive",
     ),
 )
 def _render_bvh_pallas(
@@ -264,6 +264,7 @@ def _render_bvh_pallas(
     npop: int = 2,
     npop0: int = 0,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     from . import pallas_trace
 
@@ -273,14 +274,14 @@ def _render_bvh_pallas(
     closest_fn, occluded_fn = pallas_trace.make_tracer(
         packed_dev, leaf_size, interpret=interpret, ds=ds,
         stack_depth=stack_depth, compressed=compressed, dual=dual,
-        stream=stream, npop=npop,
+        stream=stream, npop=npop, adaptive=adaptive,
     )
     if npop0 and npop0 != npop:
         # Coherent primary bounce at its own (narrower) pop width.
         c0, o0 = pallas_trace.make_tracer(
             packed_dev, leaf_size, interpret=interpret, ds=ds,
             stack_depth=stack_depth, compressed=compressed, dual=dual,
-            stream=stream, npop=npop0,
+            stream=stream, npop=npop0, adaptive=adaptive,
         )
         closest_fn = [c0, closest_fn]
         occluded_fn = [o0, occluded_fn]
@@ -314,6 +315,7 @@ def _render_bvh_fused(
     npop: int = 2,
     npop0: int = 0,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     from . import pallas_trace
 
@@ -328,7 +330,7 @@ def _render_bvh_fused(
         *packed_dev[:4], lamb, o2, d2, bounces=bounces, leaf_size=leaf_size,
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
         cmat=packed_dev[4] if len(packed_dev) >= 5 else None, npop=npop,
-        npop0=npop0, reverse_shadows=reverse_shadows,
+        npop0=npop0, reverse_shadows=reverse_shadows, adaptive=adaptive,
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -351,6 +353,7 @@ def render_bvh_fused(
     npop: int = 2,
     npop0: int = 0,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
     entire bounce loop in ONE kernel launch per packet — no inter-pass
@@ -368,7 +371,7 @@ def render_bvh_fused(
         ds, packed_dev, cam_arrays, width, height, bounces, leaf_size,
         tile_rows, tile_cols, interpret, stack_depth,
         compressed=compressed, npop=npop, npop0=npop0,
-        reverse_shadows=reverse_shadows,
+        reverse_shadows=reverse_shadows, adaptive=adaptive,
     )
 
 
@@ -391,6 +394,7 @@ def render_bvh_pallas(
     npop: int = 2,
     npop0: int = 0,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     """Packet-traversal render with the Pallas TPU kernels (production path).
 
@@ -407,4 +411,5 @@ def render_bvh_pallas(
         leaf_size, tile_rows, tile_cols, interpret, fast_light,
         stack_depth, compressed=compressed, dual=dual, stream=stream,
         npop=npop, npop0=npop0, reverse_shadows=reverse_shadows,
+        adaptive=adaptive,
     )

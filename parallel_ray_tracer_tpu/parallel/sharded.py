@@ -71,7 +71,7 @@ def _pad_tiles(ntiles: int, n_devices: int) -> int:
         "width", "height", "bounces", "leaf_size", "stack_depth",
         "tile_rows", "tile_cols", "variant", "mesh", "interpret",
         "compressed", "dual", "stream", "npop", "npop0", "fast_light",
-        "reverse_shadows",
+        "reverse_shadows", "adaptive",
     ),
 )
 def _render_sharded(
@@ -95,6 +95,7 @@ def _render_sharded(
     npop0: int = 0,
     fast_light: bool = True,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     K = tile_rows * tile_cols
     n_dev = mesh.devices.size
@@ -131,6 +132,7 @@ def _render_sharded(
                 stack_depth=stack_depth, compressed=compressed,
                 cmat=tracer_r[4] if len(tracer_r) >= 5 else None,
                 npop=npop, npop0=npop0, reverse_shadows=reverse_shadows,
+                adaptive=adaptive,
             ).reshape(nt_local * K)
             col = col.clamp(0.0, 1.0)
             return jnp.stack(
@@ -140,7 +142,7 @@ def _render_sharded(
             closest_fn, occluded_fn = pallas_trace.make_tracer(
                 tracer_r, leaf_size, interpret=interpret, ds=ds_r,
                 stack_depth=stack_depth, compressed=compressed,
-                dual=dual, stream=stream, npop=npop,
+                dual=dual, stream=stream, npop=npop, adaptive=adaptive,
             )
             if npop0 and npop0 != npop:
                 # Coherent primary bounce at its own (narrower) pop width,
@@ -148,7 +150,7 @@ def _render_sharded(
                 c0, o0 = pallas_trace.make_tracer(
                     tracer_r, leaf_size, interpret=interpret, ds=ds_r,
                     stack_depth=stack_depth, compressed=compressed,
-                    dual=dual, stream=stream, npop=npop0,
+                    dual=dual, stream=stream, npop=npop0, adaptive=adaptive,
                 )
                 closest_fn = [c0, closest_fn]
                 occluded_fn = [o0, occluded_fn]
@@ -211,6 +213,7 @@ def render_sharded(
     npop0: int = 0,
     fast_light: bool = True,
     reverse_shadows: bool = True,
+    adaptive: bool = False,
 ):
     """Render with image tiles sharded over `mesh` (scene replicated).
 
@@ -225,6 +228,7 @@ def render_sharded(
         ds, tracer_data, cam_arrays, width, height, bounces, leaf_size,
         stack_depth, tile_rows, tile_cols, variant, mesh, interpret,
         compressed, dual, stream, npop, npop0, fast_light, reverse_shadows,
+        adaptive,
     )
 
 
@@ -251,6 +255,7 @@ def make_train_step(
     dual: bool = True,
     stream: bool = False,
     npop: int = 2,
+    adaptive: bool = False,
 ):
     """Jitted SGD step optimizing vertex positions against a target image.
 
@@ -302,7 +307,7 @@ def make_train_step(
             return pallas_trace.make_tracer(
                 tracer_data, leaf_size, interpret=interpret, ds=ds,
                 stack_depth=stack_depth, compressed=compressed,
-                dual=dual, stream=stream, npop=npop,
+                dual=dual, stream=stream, npop=npop, adaptive=adaptive,
             )
         if variant == "jax":
             return trace_bvh.make_tracer(

@@ -52,6 +52,7 @@ class Pipeline:
     stream: bool = False                  # HBM-streamed leaf rows (pallas)
     npop: int = 2                         # wide-pop width actually in effect
     npop0: int = 0                        # bounce-0 pop width (0 = npop)
+    adaptive: bool = False                # width-switched inner pops
 
     def bvh_metrics_banner(self) -> Optional[str]:
         """The reference's BVH_METRICS printout (cpu/src/bvh.c:381-387)."""
@@ -134,6 +135,7 @@ class Pipeline:
                 interpret=interpret, stack_depth=self.pallas_stack_depth,
                 compressed=self.compressed, npop=self.npop,
                 npop0=self.npop0, reverse_shadows=cfg.reverse_shadows,
+                adaptive=self.adaptive,
             )
         if variant == "pallas":
             assert self.packed_dev is not None
@@ -146,6 +148,7 @@ class Pipeline:
                 compressed=self.compressed, dual=cfg.dual_pop,
                 stream=self.stream, npop=self.npop, npop0=self.npop0,
                 reverse_shadows=cfg.reverse_shadows,
+                adaptive=self.adaptive,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -194,6 +197,7 @@ class Pipeline:
                 interpret, self.pallas_stack_depth, y_offset=y0,
                 compressed=self.compressed, npop=self.npop,
                 npop0=self.npop0, reverse_shadows=cfg.reverse_shadows,
+                adaptive=self.adaptive,
             )
         if variant == "pallas":
             return render_ops._render_bvh_pallas(
@@ -203,6 +207,7 @@ class Pipeline:
                 y_offset=y0, compressed=self.compressed, dual=cfg.dual_pop,
                 stream=self.stream, npop=self.npop, npop0=self.npop0,
                 reverse_shadows=cfg.reverse_shadows,
+                adaptive=self.adaptive,
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -425,7 +430,11 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         compressed=bool(packed is not None and getattr(packed, "compressed", False)),
         stream=stream,
         npop=npop,
-        npop0=2 if npop > 2 else 0,
+        # Adaptive pops subsume the separate coherent-bounce width (narrow
+        # visits happen automatically when the pending stack is shallow);
+        # the fixed-width schedule still wants the npop0=2 primary split.
+        npop0=0 if (cfg.adaptive_pop or npop <= 2) else 2,
+        adaptive=cfg.adaptive_pop and npop > 2,
     )
 
 

@@ -74,6 +74,9 @@ def main():
                     help="triangles per leaf group (4 or 8; default 8)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16-pair compressed box rows (conservative)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="width-switched inner pops (branch on pending "
+                         "count instead of NULL-padding to --pop)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -118,7 +121,7 @@ def main():
                 closest_fn, occluded_fn = pallas_trace.make_tracer(
                     packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
                     npop=args.pop, combined=args.combined,
-                    compressed=pipe.compressed,
+                    compressed=pipe.compressed, adaptive=args.adaptive,
                 )
                 if args.pop0 and args.pop0 != args.pop:
                     c0, o0 = pallas_trace.make_tracer(
@@ -156,6 +159,7 @@ def main():
                     combined=args.combined, npop0=args.pop0,
                     npops=(tuple(int(x) for x in args.pops.split(","))
                            if args.pops else None),
+                    adaptive=args.adaptive,
                 )
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
@@ -173,6 +177,7 @@ def main():
         + (f"_p0{args.pop0}" if args.pop0 else "")
         + (f"_ps{args.pops.replace(',', '')}" if args.pops else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
+        + ("_adpt" if args.adaptive else "")
         + ("_bf16" if args.bf16 else "")
         + ("_comb" if args.combined else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")

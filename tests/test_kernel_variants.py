@@ -412,3 +412,89 @@ def test_mxu_leaf4_matches_vpu(npop):
     b_v = np.asarray(o_vpu(o, d, m2))
     b_m = np.asarray(o_mxu(o, d, m2))
     assert (b_v == b_m).mean() > 0.999
+
+
+@pytest.mark.parametrize("arity", [4, 8])
+@pytest.mark.parametrize("npop", [4, 8])
+class TestAdaptivePops:
+    """Width-switched inner pops are a PURE schedule change: each visit
+    runs at the narrowest power-of-two width covering the pending count
+    instead of NULL-padding to npop, so the pushes (and their order) are
+    identical and every output must match the fixed-width kernels bit for
+    bit."""
+
+    def test_bit_identical_to_fixed(self, packed_scene, rays, arity, npop):
+        flat, tv = packed_scene
+        packer = {4: pallas_trace.pack_bvh4, 8: pallas_trace.pack_bvh8}[arity]
+        packed = packer(flat, tv)
+        sd = pallas_trace.required_stack_depth(flat.depth, arity, npop=npop)
+        o, d = rays
+        c_f, o_f = _tracers(packed, sd, dual=True, npop=npop)
+        c_a, o_a = _tracers(packed, sd, dual=True, npop=npop, adaptive=True)
+        h_f, h_a = c_f(o, d), c_a(o, d)
+        assert np.array_equal(np.asarray(h_f.t), np.asarray(h_a.t))
+        assert np.array_equal(np.asarray(h_f.idx), np.asarray(h_a.idx))
+        m2 = jnp.full(o.x.shape, 25.0, jnp.float32)
+        assert np.array_equal(
+            np.asarray(o_f(o, d, m2)), np.asarray(o_a(o, d, m2))
+        )
+
+    def test_mxu_bit_identical_to_fixed(self, packed_scene, rays, arity, npop):
+        if arity != 4:
+            pytest.skip("MXU leaf path packs at arity 4")
+        flat, tv = packed_scene
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        sc = synthetic_scene(2000, seed=3)
+        attr = pallas_trace.pack_attr(
+            flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+        )
+        sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=npop)
+        o, d = rays
+        pd = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri), jnp.asarray(attr),
+            _interleave_cmat(packed.cmat),
+        )
+        c_f, o_f = pallas_trace.make_tracer(
+            pd, 8, interpret=True, stack_depth=sd, dual=True, npop=npop
+        )
+        c_a, o_a = pallas_trace.make_tracer(
+            pd, 8, interpret=True, stack_depth=sd, dual=True, npop=npop,
+            adaptive=True,
+        )
+        h_f, h_a = c_f(o, d), c_a(o, d)
+        assert np.array_equal(np.asarray(h_f.t), np.asarray(h_a.t))
+        assert np.array_equal(np.asarray(h_f.idx), np.asarray(h_a.idx))
+        m2 = jnp.full(o.x.shape, 25.0, jnp.float32)
+        assert np.array_equal(
+            np.asarray(o_f(o, d, m2)), np.asarray(o_a(o, d, m2))
+        )
+
+
+def test_adaptive_fused_frame_matches_fixed():
+    """Whole pipeline: the adaptive production config renders the same
+    fused image as the fixed-width schedule (the adopted default flips
+    adaptive_pop on and drops the npop0 primary split, both of which are
+    image-identical schedule changes)."""
+    from parallel_ray_tracer_tpu import pipeline
+    from parallel_ray_tracer_tpu.config import RenderConfig
+
+    base = dict(width=64, height=48, scene="car_only", bounces=2,
+                bvh_heuristic=6, tile_rows=16, tile_cols=64,
+                use_native=False)
+    cfg_f = RenderConfig(adaptive_pop=False, **base)
+    cfg_a = RenderConfig(adaptive_pop=True, **base)
+    pipe_f = pipeline.prepare(cfg_f)
+    pipe_a = pipeline.prepare(cfg_a)
+    assert pipe_f.resolved_variant() == "fused"
+    assert not pipe_f.adaptive and pipe_f.npop0 == 2
+    assert pipe_a.adaptive and pipe_a.npop0 == 0
+    img_f = np.asarray(pipe_f.render(interpret=True))
+    img_a = np.asarray(pipe_a.render(interpret=True))
+    # Hits are bit-identical (TestAdaptivePops); at the whole-frame level
+    # the CPU backend's XLA fuses the differing control-flow graphs with
+    # different FMA contraction in the shading math, so allow 1 ulp on a
+    # small fraction of pixels (on the TPU backend the frames are equal).
+    d = np.abs(img_f - img_a)
+    assert d.max() <= 1.5e-7, d.max()
+    assert (d > 0).mean() < 0.02

@@ -104,8 +104,8 @@ class TestShardedRender:
             bvh_heuristic=6,
         )
         pipe = pipeline.prepare(cfg, scene=tiny_scene)
-        # The production wide-pop schedule must actually be in effect.
-        assert pipe.npop == 8 and pipe.npop0 == 2
+        # The production schedule (adaptive wide pops) must be in effect.
+        assert pipe.npop == 8 and pipe.npop0 == 0 and pipe.adaptive
         for variant in ("pallas", "fused"):
             ref = np.asarray(pipe.render(variant=variant, interpret=True))
             img = np.asarray(
@@ -117,6 +117,7 @@ class TestShardedRender:
                     dual=cfg.dual_pop, stream=pipe.stream, npop=pipe.npop,
                     npop0=pipe.npop0, fast_light=cfg.fast_light,
                     reverse_shadows=cfg.reverse_shadows,
+                    adaptive=pipe.adaptive,
                 )
             )
             np.testing.assert_allclose(
