@@ -919,7 +919,7 @@ def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
 #
 # The VPU scalar-broadcast Möller-Trumbore (_mt_scalar_tri) runs at ~100% of
 # the VPU issue rate (~433 ns per 8-triangle leaf visit, measured in
-# scripts/microbench_mxu_leaf2.py) — the formulation's ~50 vector ops per
+# scripts/microbench_mxu_leaf.py --stage v2) — the formulation's ~50 vector ops per
 # triangle ARE the cost. The MXU path instead evaluates the four linear
 # MT quantities of all L triangles x 1024 rays as one (4L,16)@(16,1024)
 # matmul (see _build_cmat). Two details make it fast AND accurate:
@@ -936,14 +936,14 @@ def _occluded4_kernel(L: int, arity: int = 4, compressed: bool = False):
 #    significant cross products taken at native MXU rate:
 #        C @ R ~= Ch@Rh + Ch@Rl + Cl@Rh      (residual Cl@Rl ~ 2^-16 rel)
 #    Measured 2.2e-5 rel t error, zero hit flips, 227-274 ns per leaf
-#    (scripts/microbench_mxu_leaf5.py) — ~1.6x the VPU leaf.
+#    (scripts/microbench_mxu_leaf.py --stage v5) — ~1.6x the VPU leaf.
 #  - INTERLEAVED STORAGE: Mosaic pads a (N, 16) bf16 table's minor dim to
 #    128 lanes (8x its logical VMEM size — two separate half tables OOM
 #    VMEM on car_boxed-class scenes). The halves are therefore interleaved
 #    into ONE (4L*G, 32) array, rows [hi(16) | lo(16)], halving the padded
 #    footprint at identical speed (247 vs 243 ns/leaf; truly lane-packed
 #    transposed layouts force a contract-dim-0 dot that measures 3x slower
-#    — scripts/microbench_mxu_leaf6.py).
+#    — scripts/microbench_mxu_leaf.py --stage v6).
 #
 # C's halves are split+interleaved once at upload (one bf16 array, 8 KB
 # VMEM per group); R's halves once per packet. Requires leaf_size == 8
@@ -1144,7 +1144,8 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 
 def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                      npop: int, arity: int, compressed: bool = False):
+                      npop: int, arity: int, compressed: bool = False,
+                      count_dead: bool = False):
     """Visit the top `npop` pending inner nodes in one iteration.
 
     The wide-pop schedule: npop independent node visits share one
@@ -1155,6 +1156,10 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     Partial pops are padded with the NULL node (last row, all-NaN boxes:
     every slab comparison is false, nothing is pushed), so there is no
     validity masking and no scalar branching on the pending count.
+
+    count_dead=True (instrumentation only) additionally returns the number
+    of REAL popped slots whose visit pushed nothing — the stale/fruitless
+    visits a pop-time cull could at best skip (scripts/profile_visits.py).
     """
     null_node = jnp.int32(qbox.shape[0] - 1)
     isp0 = isp
@@ -1173,6 +1178,7 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
             vs.append(_slab_masked(lo, hi, oi, inv, t_cut))
     both = jnp.concatenate(vs, axis=0)          # (npop*arity*8, 128)
     red = jnp.min(both, axis=1)                 # ONE shared lane reduction
+    dead = jnp.int32(0)
     # Push far-to-near overall: the deepest-padded pop (furthest pending)
     # first, each node's children far-to-near, so pop i=0's nearest child
     # ends on top of the stack.
@@ -1185,6 +1191,7 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
         ]
         es = [m[0, k] for k in range(arity)]
         ms, es = _sortn(ms, es)
+        pushed = jnp.int32(0)
         for k in reversed(range(arity)):
             ok = ms[k] < T_MAX
             leafc = es[k] < 0
@@ -1192,6 +1199,12 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
             isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
             lstack[lsp] = es[k]
             lsp = lsp + (ok & leafc).astype(jnp.int32)
+            if count_dead:
+                pushed = pushed + ok.astype(jnp.int32)
+        if count_dead:
+            dead = dead + ((n < isp0) & (pushed == 0)).astype(jnp.int32)
+    if count_dead:
+        return isp, lsp, dead
     return isp, lsp
 
 
@@ -1311,7 +1324,8 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 
     Shared between the standalone closest kernels and the fused frame
     kernel (which runs it once per bounce, reusing the same stacks).
-    counters=True appends (inner_iters, leaf_visits, pad_slots) scalars to
+    counters=True appends (inner_iters, leaf_iters, pad_slots, dead_pops,
+    leaf_group_pops) scalars to
     the return tuple (see _run_occluded_dual). mxu, when given, is
     (Rh, Rl, cmi) and switches leaf evaluation to the MXU path. npop > 2
     selects the wide-pop inner visit (NULL-padded); nleaf > 2 pops that
@@ -1370,7 +1384,8 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                     + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
                 )
                 cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
-                       cnt[2] + pad)
+                       cnt[2] + pad, cnt[3],
+                       cnt[4] + jnp.minimum(lsp, nleaf))
             gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
             t, idx, nd, av = leafn(gs, t, idx, nd, av)
             # Backpressure: the combined schedule pushes up to npop*arity
@@ -1395,7 +1410,32 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             def do_leaf(args):
                 isp, lsp, t, idx, nd, av = args[:6]
                 cnt = args[6:]
-                if mxu is not None:
+                lsp0 = lsp
+                if mxu is not None and adaptive:
+                    # Width-switched leaf pops, same idea as the adaptive
+                    # inner visit: pop the narrowest width {b, 2b, 4b}
+                    # (b = the 64-row half-pass budget, nleaf=2 at L=8)
+                    # covering the pending count. Sequential strict-<
+                    # merges keep any width bit-identical to repeated
+                    # narrow pops.
+                    b = default_nleaf(npop, L)
+
+                    def lw(n):
+                        def f(a):
+                            lsp, t, idx, nd, av = a
+                            gs, lsp = _leaf_pops(lstack, lsp, n)
+                            t, idx, nd, av = leafn(gs, t, idx, nd, av)
+                            return (lsp, t, idx, nd, av)
+                        return f
+
+                    a0 = (lsp, t, idx, nd, av)
+                    f2 = lambda a: jax.lax.cond(
+                        a[0] > b, lw(2 * b), lw(b), a
+                    )
+                    lsp, t, idx, nd, av = jax.lax.cond(
+                        a0[0] > 2 * b, lw(4 * b), f2, a0
+                    )
+                elif mxu is not None:
                     # Pop nleaf groups per visit (duplicate pops when fewer
                     # are pending — idempotent under the strict-< merge).
                     gs, lsp = _leaf_pops(lstack, lsp, nleaf)
@@ -1405,7 +1445,15 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                     g = -lstack[lsp] - 1
                     t, idx, nd, av = leaf(g, t, idx, nd, av)
                 if counters:
-                    cnt = (cnt[0], cnt[1] + 1, cnt[2])
+                    if mxu is None:
+                        pops = jnp.int32(1)
+                    elif adaptive:
+                        b4 = 4 * default_nleaf(npop, L)
+                        pops = jnp.minimum(lsp0, b4)
+                    else:
+                        pops = jnp.minimum(lsp0, nleaf)
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
+                           cnt[4] + pops)
                 return (isp, lsp, t, idx, nd, av) + cnt
 
             def do_inner(args):
@@ -1416,17 +1464,23 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                         jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
                         else (isp < 2).astype(jnp.int32)
                     )
-                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
+                           cnt[4])
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
                         npop, arity, compressed,
                     )
                 elif npop > 2:
-                    isp, lsp = _wide_inner_visit(
+                    res_v = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
+                        npop, arity, compressed, count_dead=counters,
                     )
+                    if counters:
+                        isp, lsp, dead_v = res_v
+                        cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
+                    else:
+                        isp, lsp = res_v
                 else:
                     isp, lsp = _dual_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
@@ -1444,7 +1498,7 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
         jnp.full((SUBLANES, LANES), -1, jnp.int32),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         tuple(zero for _ in range(n_attr)),
-    ) + ((jnp.int32(0),) * 3 if counters else ())
+    ) + ((jnp.int32(0),) * 5 if counters else ())
     out = jax.lax.while_loop(
         lambda s: (s[0] > 0) | (s[1] > 0), body, init
     )
@@ -1461,8 +1515,8 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        adaptive: bool = False):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
-    counters=True additionally returns (inner_iters, leaf_visits,
-    pad_slots) scalars — debug instrumentation for visit accounting
+    counters=True additionally returns (inner_iters, leaf_iters,
+    pad_slots, dead_pops, leaf_group_pops) scalars — debug instrumentation for visit accounting
     (scripts/profile_visits.py); keeps the production path free of the
     extra scalar adds. mxu, when given, is (Rh, Rl, cmi) and switches
     leaf evaluation to the MXU path. npop/nleaf/combined as in
@@ -1485,7 +1539,8 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                     + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
                 )
                 cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
-                       cnt[2] + pad)
+                       cnt[2] + pad, cnt[3],
+                       cnt[4] + jnp.minimum(lsp, nleaf))
             gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
             blocked = _mxu_leaf_occluded_n(
                 cmi, Rh, Rl, gs, blocked, max_dist2, L
@@ -1509,7 +1564,27 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             def do_leaf(args):
                 isp, lsp, blocked, all_blocked = args[:4]
                 cnt = args[4:]
-                if mxu is not None:
+                lsp0 = lsp
+                if mxu is not None and adaptive:
+                    Rh, Rl, cmi = mxu
+                    b = default_nleaf(npop, L)
+
+                    def lw(n):
+                        def f(a):
+                            lsp, blocked = a
+                            gs, lsp = _leaf_pops(lstack, lsp, n)
+                            blocked = _mxu_leaf_occluded_n(
+                                cmi, Rh, Rl, gs, blocked, max_dist2, L
+                            )
+                            return (lsp, blocked)
+                        return f
+
+                    a0 = (lsp, blocked)
+                    f2 = lambda a: jax.lax.cond(
+                        a[0] > b, lw(2 * b), lw(b), a
+                    )
+                    lsp, blocked = jax.lax.cond(a0[0] > 2 * b, lw(4 * b), f2, a0)
+                elif mxu is not None:
                     Rh, Rl, cmi = mxu
                     gs, lsp = _leaf_pops(lstack, lsp, nleaf)
                     blocked = _mxu_leaf_occluded_n(
@@ -1525,7 +1600,15 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                         blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
                 all_blocked = jnp.min(blocked)
                 if counters:
-                    cnt = (cnt[0], cnt[1] + 1, cnt[2])
+                    if mxu is None:
+                        pops = jnp.int32(1)
+                    elif adaptive:
+                        b4 = 4 * default_nleaf(npop, L)
+                        pops = jnp.minimum(lsp0, b4)
+                    else:
+                        pops = jnp.minimum(lsp0, nleaf)
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
+                           cnt[4] + pops)
                 return (isp, lsp, blocked, all_blocked) + cnt
 
             def do_inner(args):
@@ -1536,7 +1619,8 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                         jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
                         else (isp < 2).astype(jnp.int32)
                     )
-                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad)
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
+                           cnt[4])
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
@@ -1544,10 +1628,15 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                         npop, arity, compressed,
                     )
                 elif npop > 2:
-                    isp, lsp = _wide_inner_visit(
+                    res_v = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
+                        npop, arity, compressed, count_dead=counters,
                     )
+                    if counters:
+                        isp, lsp, dead_v = res_v
+                        cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
+                    else:
+                        isp, lsp = res_v
                 else:
                     isp, lsp = _dual_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
@@ -1562,7 +1651,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
         jnp.int32(0),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         jnp.int32(0),
-    ) + ((jnp.int32(0),) * 3 if counters else ())
+    ) + ((jnp.int32(0),) * 5 if counters else ())
     out = jax.lax.while_loop(
         lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
     )
@@ -1622,7 +1711,9 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
             r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
             outs[-1][:, :] = jnp.where(
                 r == 0, cnt[0], jnp.where(r == 1, cnt[1],
-                                          jnp.where(r == 2, cnt[2], 0))
+                                          jnp.where(r == 2, cnt[2],
+                                                    jnp.where(r == 3, cnt[3],
+                                                              jnp.where(r == 4, cnt[4], 0))))
             )
 
     return kernel
@@ -1659,7 +1750,9 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
             r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
             rest[0][:, :] = jnp.where(
                 r == 0, cnt[0], jnp.where(r == 1, cnt[1],
-                                          jnp.where(r == 2, cnt[2], 0))
+                                          jnp.where(r == 2, cnt[2],
+                                                    jnp.where(r == 3, cnt[3],
+                                                              jnp.where(r == 4, cnt[4], 0))))
             )
         else:
             out[:, :] = res
@@ -1792,212 +1885,305 @@ def _occluded_pair_kernel(L: int, arity: int, compressed: bool = False,
 # VMEM-resident scenes cap at ~300k triangles (every 512-byte leaf group +
 # attribute row resident; docs/DESIGN.md). The streaming variants keep the
 # NODE tables in VMEM (they collapse 4:1 in the BVH4 packing and stay small)
-# but leave the triangle/attribute rows in HBM (memory_space=ANY), fetching
-# one row per leaf visit into a 2-slot VMEM ring via async DMA. The leaf
-# stack provides lookahead: after every visit that changes the pending-leaf
-# top, the next leaf's row is prefetched, so the DMA latency overlaps the
-# preceding inner visits' compute (the reference's analog is simply "the
-# GPU has enough HBM"; this is the TPU path to its synthetic millions-of-
-# triangles scaling axis, cpu/src/main.c:115-131).
+# but leave the triangle/attribute rows in HBM (memory_space=HBM), fetched
+# into an R-slot VMEM ring via async DMA in BLOCKS of STREAM_BLK consecutive
+# leaf groups: sibling leaves get adjacent group ids from the DFS flatten,
+# so one 2 KB block DMA typically serves several upcoming visits (round 2
+# fetched one 512 B row at a time with exactly ONE outstanding DMA and lost
+# 50x at 1M triangles). The leaf stack provides lookahead: each iteration
+# prefetches the top pending leaves' blocks into idle slots, so DMAs overlap
+# the interleaved inner visits' compute. Inner visits run the full
+# production schedule (wide / adaptive pops) — node rows are resident.
+# The MXU leaf path is deliberately NOT streamed: the C-matrix blocks are
+# 8 KB/group lane-padded and the measured stream+MXU pass is SLOWER than
+# stream+VPU (233.6 vs 225.3 ms on the 300k-triangle synthetic primary
+# pass) — the extra DMA stall exceeds the epilogue savings. The reference's
+# analog is simply "the GPU has enough HBM"; this is the TPU path to its
+# synthetic millions-of-triangles scaling axis (cpu/src/main.c:115-131).
+#
+# Ring protocol (all bookkeeping is scalar state in the while-loop carry):
+#   ring_b[r] — block id whose rows live in slot r (-1 empty)
+#   ring_w[r] — 1 = DMA completed (waited), 0 = in flight
+# Invariant: every started DMA is waited exactly once — at use, at
+# eviction, or at the final drain.
+
+STREAM_RING = 4      # VMEM ring slots per stream
+STREAM_KPRE = 2      # pending leaves prefetched per iteration
+STREAM_BLK = 4       # consecutive leaf groups per DMA block
 
 
-def _stream_prefetch(tri_hbm, attr_hbm, tri_ring, attr_ring, sems,
-                     lstack, lsp, inflight, slot):
-    """Ensure the pending-leaf top's row is in flight; returns bookkeeping.
+def _ring_sel(vals, r):
+    """vals[r] for a tuple of scalars and a traced index r."""
+    out = vals[0]
+    for i in range(1, len(vals)):
+        out = jnp.where(r == i, vals[i], out)
+    return out
 
-    inflight: leaf id whose DMA occupies `slot` (-1 = none). Exactly one
-    outstanding fetch at a time; each issued DMA is waited exactly once
-    (stale prefetches are retired with a wait before reuse).
-    """
-    top = jnp.where(lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1, -1)
 
-    def issue(args):
-        inflight, slot = args
+def _ring_set(vals, r, new):
+    return tuple(jnp.where(r == i, new, v) for i, v in enumerate(vals))
 
-        def retire(s):
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(inflight, 1), :],
-                tri_ring.at[pl.ds(s, 1), :],
-                sems.at[s],
-            ).wait()
-            if attr_hbm is not None:
-                pltpu.make_async_copy(
-                    attr_hbm.at[pl.ds(inflight, 1), :],
-                    attr_ring.at[pl.ds(s, 1), :],
-                    sems.at[2 + s],
-                ).wait()
-            return s
 
-        jax.lax.cond(inflight >= 0, retire, lambda s: s, slot)
-        new_slot = jnp.where(inflight >= 0, 1 - slot, slot)
+def _slot_copies(hbms, rings, sems, R, blk, r):
+    """Async-copy descriptors moving block `blk` into slot r.
+
+    hbms/rings pair row streams (tri, attr?) with their (R*BLK, 128)
+    rings. Stream s's slot-r semaphore is sems[s*R + r]."""
+    B = STREAM_BLK
+    return [
         pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(top, 1), :],
-            tri_ring.at[pl.ds(new_slot, 1), :],
-            sems.at[new_slot],
-        ).start()
-        if attr_hbm is not None:
-            pltpu.make_async_copy(
-                attr_hbm.at[pl.ds(top, 1), :],
-                attr_ring.at[pl.ds(new_slot, 1), :],
-                sems.at[2 + new_slot],
-            ).start()
-        return top, new_slot
-
-    return jax.lax.cond(
-        (top >= 0) & (top != inflight),
-        issue,
-        lambda args: args,
-        (inflight, slot),
-    )
-
-
-def _stream_drain(tri_hbm, attr_hbm, tri_ring, attr_ring, sems, inflight,
-                  slot):
-    """Retire a trailing prefetch so no DMA semaphore stays signaled."""
-
-    def retire(args):
-        inflight, slot = args
-        pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(inflight, 1), :],
-            tri_ring.at[pl.ds(slot, 1), :],
-            sems.at[slot],
-        ).wait()
-        if attr_hbm is not None:
-            pltpu.make_async_copy(
-                attr_hbm.at[pl.ds(inflight, 1), :],
-                attr_ring.at[pl.ds(slot, 1), :],
-                sems.at[2 + slot],
-            ).wait()
-        return jnp.int32(0)
-
-    jax.lax.cond(inflight >= 0, retire, lambda a: jnp.int32(0),
-                 (inflight, slot))
-
-
-def _stream_wait_leaf(tri_hbm, attr_hbm, tri_ring, attr_ring, sems, g,
-                      inflight, slot):
-    """Block until leaf g's row is in `slot` of the ring (hit or fetch)."""
-
-    def hit(args):
-        inflight, slot = args
-        pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(g, 1), :],
-            tri_ring.at[pl.ds(slot, 1), :],
-            sems.at[slot],
-        ).wait()
-        if attr_hbm is not None:
-            pltpu.make_async_copy(
-                attr_hbm.at[pl.ds(g, 1), :],
-                attr_ring.at[pl.ds(slot, 1), :],
-                sems.at[2 + slot],
-            ).wait()
-        return jnp.int32(-1), slot
-
-    def miss(args):
-        inflight, slot = args
-
-        # Retire any stale prefetch, then fetch g synchronously.
-        def retire(s):
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(inflight, 1), :],
-                tri_ring.at[pl.ds(s, 1), :],
-                sems.at[s],
-            ).wait()
-            if attr_hbm is not None:
-                pltpu.make_async_copy(
-                    attr_hbm.at[pl.ds(inflight, 1), :],
-                    attr_ring.at[pl.ds(s, 1), :],
-                    sems.at[2 + s],
-                ).wait()
-            return s
-
-        jax.lax.cond(inflight >= 0, retire, lambda s: s, slot)
-        dma = pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(g, 1), :],
-            tri_ring.at[pl.ds(slot, 1), :],
-            sems.at[slot],
+            hbm.at[pl.ds(blk * B, B), :],
+            ring.at[pl.ds(r * B, B), :],
+            sems.at[si * R + r],
         )
-        dma.start()
-        if attr_hbm is not None:
-            dma2 = pltpu.make_async_copy(
-                attr_hbm.at[pl.ds(g, 1), :],
-                attr_ring.at[pl.ds(slot, 1), :],
-                sems.at[2 + slot],
-            )
-            dma2.start()
-            dma.wait()
-            dma2.wait()
-        else:
-            dma.wait()
-        return jnp.int32(-1), slot
+        for si, (hbm, ring) in enumerate(zip(hbms, rings))
+    ]
 
-    return jax.lax.cond(inflight == g, hit, miss, (inflight, slot))
+
+def _slot_start(hbms, rings, sems, R, blk, r):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r):
+        c.start()
+
+
+def _slot_wait(hbms, rings, sems, R, blk, r):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r):
+        c.wait()
+
+
+def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
+    """Make block `blk` valid in some slot; returns
+    (slot, ring_b, ring_w, clock)."""
+    fr = jnp.int32(-1)
+    for i in range(R):
+        fr = jnp.where(ring_b[i] == blk, jnp.int32(i), fr)
+
+    def use_found(args):
+        ring_b, ring_w, clock = args
+
+        def do_wait(_):
+            _slot_wait(hbms, rings, sems, R, blk, fr)
+            return jnp.int32(0)
+
+        jax.lax.cond(_ring_sel(ring_w, fr) == 0, do_wait,
+                     lambda _: jnp.int32(0), 0)
+        return fr, ring_b, _ring_set(ring_w, fr, jnp.int32(1)), clock
+
+    def fetch(args):
+        ring_b, ring_w, clock = args
+        v = jax.lax.rem(clock, jnp.int32(R))
+        bv = _ring_sel(ring_b, v)
+
+        def retire(_):
+            _slot_wait(hbms, rings, sems, R, bv, v)
+            return jnp.int32(0)
+
+        jax.lax.cond((bv >= 0) & (_ring_sel(ring_w, v) == 0), retire,
+                     lambda _: jnp.int32(0), 0)
+        _slot_start(hbms, rings, sems, R, blk, v)
+        _slot_wait(hbms, rings, sems, R, blk, v)
+        return (
+            v,
+            _ring_set(ring_b, v, blk),
+            _ring_set(ring_w, v, jnp.int32(1)),
+            clock + 1,
+        )
+
+    return jax.lax.cond(fr >= 0, use_found, fetch, (ring_b, ring_w, clock))
+
+
+def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
+                   ring_b, ring_w, clock, protect_slot=None):
+    """Start DMAs for the top pending leaves' blocks into idle slots.
+
+    A slot is idle iff ring_w == 1 (waited data or empty); slots holding
+    any of the current top-kpre blocks are protected from eviction. When
+    the rotating victim is protected or busy the prefetch simply skips —
+    the use path falls back to a synchronous fetch, so this is purely an
+    overlap heuristic, never a correctness dependency."""
+    B = STREAM_BLK
+    tops = [
+        jnp.where(
+            i < lsp,
+            (-lstack[jnp.maximum(lsp - 1 - i, 0)] - 1) // B,
+            jnp.int32(-1),
+        )
+        for i in range(kpre)
+    ]
+    for i in range(kpre):
+        bi = tops[i]
+        inr = bi < 0  # absent (or duplicate block) -> no-op
+        for j in range(i):
+            inr = inr | (tops[j] == bi)
+        for r_ in range(R):
+            inr = inr | (ring_b[r_] == bi)
+        v = jax.lax.rem(clock, jnp.int32(R))
+        bv = _ring_sel(ring_b, v)
+        protected = bv < -1
+        for bj in tops:
+            protected = protected | ((bv == bj) & (bj >= 0))
+        can = (
+            jnp.logical_not(inr)
+            & (_ring_sel(ring_w, v) == 1)
+            & jnp.logical_not(protected)
+        )
+        if protect_slot is not None:
+            # Never evict the slot whose rows the caller is about to read
+            # (the pre-eval prefetch position).
+            can = can & (v != protect_slot)
+
+        def start(args, bi=bi, v=v):
+            ring_b, ring_w, clock = args
+            _slot_start(hbms, rings, sems, R, bi, v)
+            return (
+                _ring_set(ring_b, v, bi),
+                _ring_set(ring_w, v, jnp.int32(0)),
+                clock + 1,
+            )
+
+        ring_b, ring_w, clock = jax.lax.cond(
+            can, start, lambda a: a, (ring_b, ring_w, clock)
+        )
+    return ring_b, ring_w, clock
+
+
+def _ring_drain(hbms, rings, sems, R, ring_b, ring_w):
+    """Retire every in-flight prefetch so no DMA semaphore stays signaled."""
+    for r in range(R):
+
+        def retire(_, r=r):
+            _slot_wait(hbms, rings, sems, R, ring_b[r], jnp.int32(r))
+            return jnp.int32(0)
+
+        jax.lax.cond((ring_w[r] == 0) & (ring_b[r] >= 0), retire,
+                     lambda _: jnp.int32(0), 0)
 
 
 def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
-                           compressed: bool = False):
-    """Dual-pop closest hit with HBM-streamed leaf rows."""
+                           compressed: bool = False, npop: int = 2,
+                           adaptive: bool = False,
+                           R: int = STREAM_RING, kpre: int = STREAM_KPRE):
+    """Closest hit with HBM-streamed leaf rows (block-ring-buffered).
+
+    Inner visits run the production wide/adaptive pop schedule on the
+    VMEM-resident node tables; each leaf visit evaluates ONE group on the
+    VPU (see the section comment for why the MXU leaf is not streamed)."""
 
     def kernel(*refs):
+        ox, oy, oz, dx, dy, dz, qbox, qmeta, tri = refs[:9]
+        p = 9
+        attr = None
         if n_attr:
-            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
-            outs = refs[10:13 + n_attr]
-            istack, lstack, tri_ring, attr_ring, sems = refs[13 + n_attr:]
-        else:
-            (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
-            outs = refs[9:12]
-            istack, lstack, tri_ring, sems = refs[12:]
-            attr = None
-            attr_ring = None
+            attr = refs[p]
+            p += 1
+        outs = refs[p:p + 3 + n_attr]
+        rest = refs[p + 3 + n_attr:]
+        istack, lstack = rest[0], rest[1]
+        q = 2
+        rings = [rest[q]]
+        q += 1
+        if n_attr:
+            rings.append(rest[q])
+            q += 1
+        sems = rest[q]
+        hbms = [tri] + ([attr] if n_attr else [])
+
         t_out, idx_out, nd_out = outs[:3]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         istack[0] = jnp.int32(0)
 
+        def leaf_update(slot, g, off, t, idx, nd, av):
+            row_i = slot * STREAM_BLK + off
+            tri_row = rings[0][pl.ds(row_i, 1), :].astype(jnp.float32)
+            if n_attr:
+                arow = rings[1][pl.ds(row_i, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    t, idx, nd, av = _attr_leaf_update(
+                        o, d, tri_row, arow, g, j, L, t, idx, nd, av
+                    )
+            else:
+                for j in range(L):
+                    tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
+                    better = tj < t
+                    t = jnp.where(better, tj, t)
+                    idx = jnp.where(better, g * L + j, idx)
+                    nd = jnp.where(better, ndj.astype(jnp.int32), nd)
+            return t, idx, nd, av
+
         def body(state):
-            isp, lsp, inflight, slot, t, idx, nd, av = state
+            isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = state
 
             def do_leaf(args):
-                isp, lsp, inflight, slot, t, idx, nd, av = args
+                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args
                 lsp = lsp - 1
                 g = -lstack[lsp] - 1
-                inflight, slot = _stream_wait_leaf(
-                    tri, attr, tri_ring, attr_ring, sems, g, inflight, slot
+                blk = g // STREAM_BLK
+                slot, ring_b, ring_w, clock = _ring_use(
+                    hbms, rings, sems, R, blk, ring_b, ring_w, clock
                 )
-                tri_row = tri_ring[pl.ds(slot, 1), :]
-                if n_attr:
-                    arow = attr_ring[pl.ds(slot, 1), :]
-                    for j in range(L):
-                        t, idx, nd, av = _attr_leaf_update(
-                            o, d, tri_row, arow, g, j, L, t, idx, nd, av
-                        )
-                else:
-                    for j in range(L):
-                        tj, ndj = _mt_scalar_tri(o, d, tri_row, j)
-                        better = tj < t
-                        t = jnp.where(better, tj, t)
-                        idx = jnp.where(better, g * L + j, idx)
-                        nd = jnp.where(better, ndj.astype(jnp.int32), nd)
-                return isp, lsp, inflight, slot, t, idx, nd, av
+                # Prefetch BEFORE the eval: the next pending blocks' DMAs
+                # get the whole leaf evaluation (~400 ns of vector work)
+                # as lead time instead of issuing at the iteration tail
+                # with zero compute before their wait.
+                ring_b, ring_w, clock = _ring_prefetch(
+                    hbms, rings, sems, R, lstack, lsp, kpre,
+                    ring_b, ring_w, clock, protect_slot=slot,
+                )
+                t, idx, nd, av = leaf_update(
+                    slot, g, g - blk * STREAM_BLK, t, idx, nd, av
+                )
+                # Same-block second pop: sibling leaves get adjacent group
+                # ids from the DFS flatten, so the next pending leaf very
+                # often lives in the block just fetched — evaluate it in
+                # this iteration behind the SAME ring lookup (one scalar
+                # compare; saves an iteration of ring/scan overhead).
+                g2 = jnp.where(
+                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                    jnp.int32(-1),
+                )
+
+                def second(a):
+                    lsp, t, idx, nd, av = a
+                    t, idx, nd, av = leaf_update(
+                        slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
+                    )
+                    return lsp - 1, t, idx, nd, av
+
+                lsp, t, idx, nd, av = jax.lax.cond(
+                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                    second, lambda a: a, (lsp, t, idx, nd, av),
+                )
+                return isp, lsp, clock, ring_b, ring_w, t, idx, nd, av
 
             def do_inner(args):
-                isp, lsp, inflight, slot, t, idx, nd, av = args
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp, arity,
-                    compressed,
+                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args
+                if adaptive and npop > 2:
+                    isp, lsp = _adaptive_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                elif npop > 2:
+                    isp, lsp = _wide_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        npop, arity, compressed,
+                    )
+                else:
+                    isp, lsp = _dual_inner_visit(
+                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                        arity, compressed,
+                    )
+                ring_b, ring_w, clock = _ring_prefetch(
+                    hbms, rings, sems, R, lstack, lsp, kpre,
+                    ring_b, ring_w, clock,
                 )
-                return isp, lsp, inflight, slot, t, idx, nd, av
+                return isp, lsp, clock, ring_b, ring_w, t, idx, nd, av
 
-            state = jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
-            isp, lsp, inflight, slot, t, idx, nd, av = state
-            inflight, slot = _stream_prefetch(
-                tri, attr, tri_ring, attr_ring, sems, lstack, lsp,
-                inflight, slot,
-            )
-            return isp, lsp, inflight, slot, t, idx, nd, av
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
         zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
         init = (
-            jnp.int32(1), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            jnp.int32(1), jnp.int32(0), jnp.int32(0),
+            tuple(jnp.int32(-1) for _ in range(R)),
+            tuple(jnp.int32(1) for _ in range(R)),
             jnp.full((SUBLANES, LANES), T_MAX, jnp.float32),
             jnp.full((SUBLANES, LANES), -1, jnp.int32),
             jnp.zeros((SUBLANES, LANES), jnp.int32),
@@ -2006,8 +2192,8 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
         state = jax.lax.while_loop(
             lambda s: (s[0] > 0) | (s[1] > 0), body, init
         )
-        _, _, inflight, slot, t, idx, nd, av = state
-        _stream_drain(tri, attr, tri_ring, attr_ring, sems, inflight, slot)
+        _, _, _, ring_b, ring_w, t, idx, nd, av = state
+        _ring_drain(hbms, rings, sems, R, ring_b, ring_w)
         t_out[:, :] = t
         idx_out[:, :] = idx
         nd_out[:, :] = nd
@@ -2017,60 +2203,103 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
     return kernel
 
 
-def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False):
-    """Dual-pop any-hit occlusion with HBM-streamed leaf rows."""
+def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
+                            npop: int = 2, adaptive: bool = False,
+                            R: int = STREAM_RING, kpre: int = STREAM_KPRE):
+    """Any-hit occlusion with HBM-streamed leaf rows (block-ring)."""
 
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
                istack, lstack, tri_ring, sems):
+        rings = [tri_ring]
+        hbms = [tri]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
         max_dist2 = m2[:, :]
         t_limit = jnp.sqrt(max_dist2)
         istack[0] = jnp.int32(0)
 
         def body(state):
-            isp, lsp, inflight, slot, blocked, all_blocked = state
+            isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = state
 
-            def do_leaf(args):
-                isp, lsp, inflight, slot, blocked, all_blocked = args
-                lsp = lsp - 1
-                g = -lstack[lsp] - 1
-                inflight, slot = _stream_wait_leaf(
-                    tri, None, tri_ring, None, sems, g, inflight, slot
-                )
-                row = tri_ring[pl.ds(slot, 1), :]
+            def leaf_eval(slot, off, blocked):
+                row_i = slot * STREAM_BLK + off
+                row = rings[0][pl.ds(row_i, 1), :].astype(jnp.float32)
                 for j in range(L):
                     tj, _ = _mt_scalar_tri(o, d, row, j)
                     hit = (tj < T_MAX) & (tj * tj < max_dist2)
                     blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
+                return blocked
+
+            def do_leaf(args):
+                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                blk = g // STREAM_BLK
+                slot, ring_b, ring_w, clock = _ring_use(
+                    hbms, rings, sems, R, blk, ring_b, ring_w, clock
+                )
+                # Prefetch before the eval (see the closest kernel).
+                ring_b, ring_w, clock = _ring_prefetch(
+                    hbms, rings, sems, R, lstack, lsp, kpre,
+                    ring_b, ring_w, clock, protect_slot=slot,
+                )
+                blocked = leaf_eval(slot, g - blk * STREAM_BLK, blocked)
+                # Same-block second pop (see the closest kernel).
+                g2 = jnp.where(
+                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                    jnp.int32(-1),
+                )
+
+                def second(a):
+                    lsp, blocked = a
+                    return lsp - 1, leaf_eval(
+                        slot, g2 - blk * STREAM_BLK, blocked
+                    )
+
+                lsp, blocked = jax.lax.cond(
+                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                    second, lambda a: a, (lsp, blocked),
+                )
                 all_blocked = jnp.min(blocked)
-                return isp, lsp, inflight, slot, blocked, all_blocked
+                return isp, lsp, clock, ring_b, ring_w, blocked, all_blocked
 
             def do_inner(args):
-                isp, lsp, inflight, slot, blocked, all_blocked = args
+                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                isp, lsp = _dual_inner_visit(
-                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    arity, compressed,
+                if adaptive and npop > 2:
+                    isp, lsp = _adaptive_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                        isp, lsp, npop, arity, compressed,
+                    )
+                elif npop > 2:
+                    isp, lsp = _wide_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                        isp, lsp, npop, arity, compressed,
+                    )
+                else:
+                    isp, lsp = _dual_inner_visit(
+                        qbox, qmeta, oi, inv, t_cut, istack, lstack,
+                        isp, lsp, arity, compressed,
+                    )
+                ring_b, ring_w, clock = _ring_prefetch(
+                    hbms, rings, sems, R, lstack, lsp, kpre,
+                    ring_b, ring_w, clock,
                 )
-                return isp, lsp, inflight, slot, blocked, all_blocked
+                return isp, lsp, clock, ring_b, ring_w, blocked, all_blocked
 
-            state = jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
-            isp, lsp, inflight, slot, blocked, all_blocked = state
-            inflight, slot = _stream_prefetch(
-                tri, None, tri_ring, None, sems, lstack, lsp, inflight, slot
-            )
-            return isp, lsp, inflight, slot, blocked, all_blocked
+            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
         init = (
-            jnp.int32(1), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            jnp.int32(1), jnp.int32(0), jnp.int32(0),
+            tuple(jnp.int32(-1) for _ in range(R)),
+            tuple(jnp.int32(1) for _ in range(R)),
             jnp.zeros((SUBLANES, LANES), jnp.int32),
             jnp.int32(0),
         )
         state = jax.lax.while_loop(
-            lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[5] == 0), body, init
+            lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[6] == 0), body, init
         )
-        _, _, inflight, slot, blocked, _ = state
-        _stream_drain(tri, None, tri_ring, None, sems, inflight, slot)
+        _, _, _, ring_b, ring_w, blocked, _ = state
+        _ring_drain(hbms, rings, sems, R, ring_b, ring_w)
         out[:, :] = blocked
 
     return kernel
@@ -2505,15 +2734,27 @@ def _scene_specs(stream: bool = False):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cbox
         pl.BlockSpec(memory_space=pltpu.VMEM),  # cmeta
         # Streaming: triangle rows stay in HBM, fetched per leaf visit.
-        pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM if stream else pltpu.VMEM),
     ]
 
 
-def _stream_scratch(n_rings: int):
-    return (
-        [pltpu.VMEM((2, LANES), jnp.float32) for _ in range(n_rings)]
-        + [pltpu.SemaphoreType.DMA((2 * n_rings,))]
-    )
+def _stream_scratch(n_rows: int, R: int = STREAM_RING):
+    """Ring scratch for the streaming kernels: one (R*BLK, 128) f32 ring
+    per row stream (tri, attr) — each slot holds a BLOCK of STREAM_BLK
+    consecutive group rows — plus one DMA semaphore per (stream, slot)."""
+    rings = [
+        pltpu.VMEM((R * STREAM_BLK, LANES), jnp.float32)
+        for _ in range(n_rows)
+    ]
+    return rings + [pltpu.SemaphoreType.DMA((n_rows * R,))]
+
+
+def _pad_stream_rows(a):
+    """Pad a (G, 128) HBM row table to a multiple of STREAM_BLK rows so
+    block DMAs never read past the end (padding rows are never addressed
+    by a real leaf, they only ride along in a trailing block fetch)."""
+    extra = (-a.shape[0]) % STREAM_BLK
+    return jnp.pad(a, ((0, extra), (0, 0))) if extra else a
 
 
 @functools.partial(
@@ -2532,8 +2773,9 @@ def closest_tiles(
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
-    counters=True (dual path only) also returns an (ntiles, 3) int32 array
-    of per-packet (inner_iters, leaf_visits, single_pending_iters)."""
+    counters=True (dual path only) also returns an (ntiles, 5) int32 array
+    of per-packet (inner_iters, leaf_iters, pad_slots, dead_pops,
+    leaf_group_pops)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
@@ -2546,15 +2788,18 @@ def closest_tiles(
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
-    assert not (counters and not (dual and arity >= 4)), \
-        "counters need the dual-pop kernels"
+    assert not (counters and (stream or not (dual and arity >= 4))), \
+        "counters need the non-streamed dual-pop kernels"
     assert npop in (2, 4, 8) and (
-        npop == 2 or (dual and arity >= 4 and not stream)
-    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
+        npop == 2 or (dual and arity >= 4)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
-    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
-    # non-streamed); ineligible calls fall back to the VPU leaf.
+    # MXU leaves need the dual-pop NON-streamed kernels (leaf_size 8 or
+    # 4, width >= 4); ineligible calls fall back to the VPU leaf. The
+    # streamed MXU leaf was measured SLOWER than the streamed VPU leaf
+    # (its 8 KB C-matrix block DMA stalls more than the epilogue saves),
+    # so streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
     extra_in = []
@@ -2563,7 +2808,11 @@ def closest_tiles(
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
     if stream:
-        kernel = _closest_stream_kernel(leaf_size, arity, compressed=compressed)
+        tri = _pad_stream_rows(tri)
+        kernel = _closest_stream_kernel(
+            leaf_size, arity, compressed=compressed, npop=npop,
+            adaptive=adaptive,
+        )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
         )
@@ -2603,7 +2852,7 @@ def closest_tiles(
     t, idx, nd = outs[:3]
     hit = Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
     if counters:
-        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :3, 0]
+        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :5, 0]
         return hit, cnt
     return hit
 
@@ -2639,10 +2888,10 @@ def closest_tiles_full(
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
     assert npop in (2, 4, 8) and (
-        npop == 2 or (dual and arity >= 4 and not stream)
-    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
-    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
-    # non-streamed); ineligible calls fall back to the VPU leaf.
+        npop == 2 or (dual and arity >= 4)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
+    # MXU leaves need the dual-pop NON-streamed kernels (see
+    # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
     extra_in = []
@@ -2651,8 +2900,11 @@ def closest_tiles_full(
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
     if stream:
+        tri = _pad_stream_rows(tri)
+        attr = _pad_stream_rows(attr)
         kernel = _closest_stream_kernel(
-            leaf_size, arity, n_attr=12, compressed=compressed
+            leaf_size, arity, n_attr=12, compressed=compressed, npop=npop,
+            adaptive=adaptive,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(2)
@@ -2678,7 +2930,7 @@ def closest_tiles_full(
         grid=(ntiles,),
         out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(stream) + [
-            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM)
+            pl.BlockSpec(memory_space=pltpu.HBM if stream else pltpu.VMEM)
         ] + extra_specs,
         out_specs=[block] * 15,
         scratch_shapes=scratch,
@@ -2715,24 +2967,25 @@ def occluded_tiles(
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
-    counters=True (dual path only) also returns an (ntiles, 3) int32 array
-    of per-packet (inner_iters, leaf_visits, single_pending_iters)."""
+    counters=True (dual path only) also returns an (ntiles, 5) int32 array
+    of per-packet (inner_iters, leaf_iters, pad_slots, dead_pops,
+    leaf_group_pops)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
-    assert not (counters and not (dual and arity >= 4)), \
-        "counters need the dual-pop kernels"
+    assert not (counters and (stream or not (dual and arity >= 4))), \
+        "counters need the non-streamed dual-pop kernels"
     assert npop in (2, 4, 8) and (
-        npop == 2 or (dual and arity >= 4 and not stream)
-    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4, non-streamed)"
+        npop == 2 or (dual and arity >= 4)
+    ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))
-    # MXU leaves need the dual-pop kernels (leaf_size 8, width >= 4,
-    # non-streamed); ineligible calls fall back to the VPU leaf.
+    # MXU leaves need the dual-pop NON-streamed kernels (see
+    # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
     extra_in = []
@@ -2768,7 +3021,11 @@ def occluded_tiles(
         )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, cmat)
         return blocked
     if stream:
-        kernel = _occluded_stream_kernel(leaf_size, arity, compressed=compressed)
+        tri = _pad_stream_rows(tri)
+        kernel = _occluded_stream_kernel(
+            leaf_size, arity, compressed=compressed, npop=npop,
+            adaptive=adaptive,
+        )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
         )
@@ -2806,7 +3063,7 @@ def occluded_tiles(
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, *extra_in)
     if counters:
-        cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :3, 0]
+        cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :5, 0]
         return outs[0].astype(bool), cnt
     return outs[0].astype(bool)
 

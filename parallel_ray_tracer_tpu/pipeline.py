@@ -361,9 +361,11 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     pallas_stack_depth = 96
     npop = 2
     if cfg.use_bvh:
-        # Wide-pop needs the dual-pop kernels (width >= 4, non-streamed).
+        # Wide-pop needs the dual-pop kernels (width >= 4). Node tables
+        # stay VMEM-resident even when leaf rows stream, so the full
+        # inner-visit schedule applies to streamed scenes too.
         npop = cfg.pop_width if (
-            cfg.dual_pop and cfg.bvh_width >= 4 and not stream
+            cfg.dual_pop and cfg.bvh_width >= 4
         ) else 2
         pallas_stack_depth = pallas_trace.required_stack_depth(
             flat.depth, {2: 2, 4: 4, 8: 8}[cfg.bvh_width], npop=npop
@@ -390,6 +392,9 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         # the 32-lane minor dim to 128, so the table's true VMEM cost is
         # rows*128*2 bytes; gate on the whole scene block fitting VMEM
         # (the padded table dominates: ~8 KB per 8-triangle leaf group).
+        # The streamed MXU leaf measured SLOWER than the streamed VPU leaf
+        # (DESIGN 9c), so streaming never consumes the C-matrix table —
+        # don't upload it for streamed scenes.
         mxu_ok = (
             cfg.mxu_leaf
             and cfg.dual_pop

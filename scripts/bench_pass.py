@@ -153,13 +153,16 @@ def main():
                     help="combined leaf+inner iteration schedule")
     ap.add_argument("--paired", action="store_true",
                     help="two packets per kernel instance (occluded only)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="width-switched inner/leaf pops (production)")
     ap.add_argument("--reverse", action="store_true",
                     help="light-origin shadow segments (occluded passes)")
+    ap.add_argument("--scene", default="car_boxed")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     cfg = RenderConfig(
-        width=W, height=H, scene="car_boxed", bvh_heuristic=6,
+        width=W, height=H, scene=args.scene, bvh_heuristic=6,
         tile_rows=32, tile_cols=32, bvh_width=args.width,
         true_sah=args.true_sah, leaf_size=args.leaf_size,
         bf16_bvh=args.bf16, leaf_threshold=args.leaf_threshold,
@@ -182,12 +185,12 @@ def main():
 
     results = {
         "pop": args.pop, "nleaf": args.nleaf, "combined": args.combined,
-        "paired": args.paired,
+        "paired": args.paired, "adaptive": args.adaptive,
         "bvh_width": args.width, "dual": bool(args.dual),
         "presplit": args.presplit,
         "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
         "bf16": bool(args.bf16), "leaf_threshold": args.leaf_threshold,
-        "mxu": cmat is not None,
+        "mxu": cmat is not None, "scene": args.scene,
     }
     dual = bool(args.dual)
     comp = pipe.compressed
@@ -205,6 +208,7 @@ def main():
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
                     compressed=comp, cmat=cmat, npop=args.pop,
                     nleaf=args.nleaf, combined=args.combined,
+                    adaptive=args.adaptive,
                 )
                 return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
@@ -241,7 +245,7 @@ def main():
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
                     compressed=comp, cmat=cmat, npop=args.pop,
                     nleaf=args.nleaf, combined=args.combined,
-                    paired=args.paired,
+                    paired=args.paired, adaptive=args.adaptive,
                 )
                 return px + blocked.astype(jnp.float32) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -262,7 +266,9 @@ def main():
         + (f"_nl{args.nleaf}" if args.nleaf else "")
         + ("_comb" if args.combined else "")
         + ("_pair" if args.paired else "")
+        + ("_adpt" if args.adaptive else "")
         + ("_rev" if args.reverse else "")
+        + (f"_{args.scene}" if args.scene != "car_boxed" else "")
     )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -54,14 +54,17 @@ def marginal_ms(fn, k_lo=2, k_hi=6, reps=3):
 def main():
     report = {}
     for n_tris in (100_000, 300_000, 1_000_000):
-        cfg = RenderConfig(
+        base = dict(
             width=W, height=H, synthetic_triangles=n_tris, bvh_heuristic=6,
             tile_rows=32, tile_cols=32,
         )
-        pipe = pipeline.prepare(cfg)
-        cbox, cmeta, tri, attr = pipe.packed_dev
-        leaf = pipe.leaf_size
-        sdepth = pipe.pallas_stack_depth
+        pipe = pipeline.prepare(RenderConfig(**base))
+        # Resident-eligible sizes compare against a stream-forced prepare
+        # (it keeps the MXU C-matrix table eligible, which the resident
+        # prepare may drop on VMEM-budget grounds).
+        spipe = pipe if pipe.stream else pipeline.prepare(
+            RenderConfig(stream="on", **base)
+        )
         cam_arrays = tuple(
             jnp.asarray(a) for a in ray_basis(pipe.camera(), W, H)
         )
@@ -71,24 +74,41 @@ def main():
         o2 = Vec3(*(p.reshape(rows, 128) for p in o))
         d2 = Vec3(*(p.reshape(rows, 128) for p in d))
 
-        @functools.partial(jax.jit, static_argnames=("k", "stream"))
-        def chain(ox0, k: int, stream: bool):
-            def body(i, ox):
-                h = pallas_trace.closest_tiles(
-                    cbox, cmeta, tri, Vec3(ox, o2.y, o2.z), d2,
-                    leaf_size=leaf, stack_depth=sdepth, dual=True,
-                    stream=stream,
-                )
-                return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
-            return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
+        def make_chain(pp, stream):
+            # Scene arrays ride as jit ARGUMENTS: closing over them embeds
+            # them as HLO constants, which at 1M triangles exceeds what the
+            # remote-compile tunnel will buffer.
+            scene = pp.packed_dev[:3] + (
+                (pp.packed_dev[4],) if len(pp.packed_dev) >= 5 else ()
+            )
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def chain(ox0, scene, _o2, _d2, k: int):
+                cbox, cmeta, tri = scene[:3]
+                cmat = scene[3] if len(scene) > 3 else None
+
+                def body(i, ox):
+                    h = pallas_trace.closest_tiles(
+                        cbox, cmeta, tri, Vec3(ox, _o2.y, _o2.z), _d2,
+                        leaf_size=pp.leaf_size,
+                        stack_depth=pp.pallas_stack_depth, dual=True,
+                        stream=stream, cmat=cmat, npop=pp.npop,
+                        adaptive=pp.adaptive,
+                    )
+                    return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
+                return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
+
+            return lambda ox0, k: chain(ox0, scene, o2, d2, k)
 
         key = f"{n_tris}"
         report[key] = {"stream_auto": pipe.stream}
-        modes = ["stream"] if pipe.stream else ["resident", "stream"]
-        for mode in modes:
-            ms = marginal_ms(
-                lambda k: chain(o2.x, k, mode == "stream")
-            )
+        modes = (
+            [("stream", spipe)] if pipe.stream
+            else [("resident", pipe), ("stream", spipe)]
+        )
+        for mode, pp in modes:
+            fn = make_chain(pp, mode == "stream")
+            ms = marginal_ms(lambda k: fn(o2.x, k))
             report[key][f"closest_{mode}_ms"] = ms
             report[key][f"rays_per_s_{mode}"] = n_rays / (ms / 1e3)
             print(n_tris, mode, f"{ms:.2f} ms", flush=True)

@@ -42,7 +42,7 @@ W, H = 1920, 1080
 
 def stats(cnt: np.ndarray) -> dict:
     inner, leaf, single = cnt[:, 0], cnt[:, 1], cnt[:, 2]
-    return {
+    out = {
         "inner_iters_total": int(inner.sum()),
         "leaf_visits_total": int(leaf.sum()),
         "single_pending_total": int(single.sum()),
@@ -52,6 +52,25 @@ def stats(cnt: np.ndarray) -> dict:
         "inner_iters_max": int(inner.max()),
         "leaf_visits_max": int(leaf.max()),
     }
+    if cnt.shape[1] >= 4:
+        # Real popped slots whose visit pushed nothing: the stale or
+        # fruitless visits an ideal pop-time cull could at best skip.
+        dead = cnt[:, 3]
+        out["dead_pops_total"] = int(dead.sum())
+        out["real_inner_pops_total"] = int(
+            cnt[:, 0].sum() * _NPOP - cnt[:, 2].sum()
+        )
+        out["dead_pops_frac_of_real"] = float(
+            dead.sum() / max(1, out["real_inner_pops_total"])
+        )
+    if cnt.shape[1] >= 5:
+        # Real leaf GROUP pops (excluding duplicate padding) — the
+        # schedule-independent leaf work unit for the roofline.
+        out["leaf_group_pops_total"] = int(cnt[:, 4].sum())
+    return out
+
+
+_NPOP = 2  # set from args in main()
 
 
 def main():
@@ -60,9 +79,13 @@ def main():
     ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8))
     ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8))
     ap.add_argument("--combined", action="store_true")
+    ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--scene", default="car_boxed")
     args = ap.parse_args()
+    global _NPOP
+    _NPOP = args.pop
     cfg = RenderConfig(
-        width=W, height=H, scene="car_boxed", bvh_heuristic=6,
+        width=W, height=H, scene=args.scene, bvh_heuristic=6,
         tile_rows=32, tile_cols=32,
     )
     pipe = pipeline.prepare(cfg)
@@ -74,7 +97,7 @@ def main():
     )
 
     sets, ds, closest_fn = bounce_ray_sets(pipe, 2)
-    report = {"scene": "car_boxed", "true_sah": cfg.true_sah}
+    report = {"scene": args.scene, "true_sah": cfg.true_sah}
 
     for b, (o, d, alive) in enumerate(sets):
         from parallel_ray_tracer_tpu.ops.shade import mask_dead_rays
@@ -87,7 +110,7 @@ def main():
         _, cnt = pallas_trace.closest_tiles(
             cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
             dual=True, counters=True, npop=args.pop, nleaf=args.nleaf,
-            cmat=cmat, combined=args.combined,
+            cmat=cmat, combined=args.combined, adaptive=args.adaptive,
         )
         report[f"closest_b{b}"] = stats(np.asarray(cnt))
         print(f"closest_b{b}", report[f"closest_b{b}"], flush=True)
@@ -99,7 +122,7 @@ def main():
             cbox, cmeta, tri, so2, sd2, sm2.reshape(rows, 128),
             leaf_size=leaf, stack_depth=sdepth, dual=True, counters=True,
             npop=args.pop, nleaf=args.nleaf, cmat=cmat,
-            combined=args.combined,
+            combined=args.combined, adaptive=args.adaptive,
         )
         report[f"occluded_b{b}"] = stats(np.asarray(ocnt))
         print(f"occluded_b{b}", report[f"occluded_b{b}"], flush=True)
@@ -110,6 +133,8 @@ def main():
         + (f"_pop{args.pop}" if args.pop != 2 else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
         + ("_comb" if args.combined else "")
+        + ("_adpt" if args.adaptive else "")
+        + (f"_{args.scene}" if args.scene != "car_boxed" else "")
         + ".json",
     )
     with open(out, "w") as f:

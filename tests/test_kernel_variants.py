@@ -189,6 +189,43 @@ class TestStreamingKernels:
                     np.asarray(getattr(getattr(h2, f), c)),
                 )
 
+    @pytest.mark.parametrize("npop", [2, 8])
+    def test_stream_wide_pops_match_resident(self, packed_scene, rays, npop):
+        """The block-ring streamed kernels at the full wide/adaptive inner
+        schedule must be BIT-identical to the resident kernels at the same
+        schedule (streaming forces the VPU leaf, so the resident side runs
+        without the MXU table too — the streamed MXU leaf was measured
+        slower and removed, see pallas_trace's streaming section)."""
+        flat, tv = packed_scene
+        sc = synthetic_scene(2000, seed=3)
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        attr = pallas_trace.pack_attr(
+            flat, sc.mat_idx, sc.mats_kd, sc.mats_ks, sc.mats_kr
+        )
+        sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=npop)
+        o, d = rays
+        pd = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri), jnp.asarray(attr),
+        )
+        kw = dict(interpret=True, stack_depth=sd, dual=True, npop=npop,
+                  adaptive=npop > 2)
+        c_res, o_res = pallas_trace.make_tracer(pd, 8, **kw)
+        c_str, o_str = pallas_trace.make_tracer(pd, 8, stream=True, **kw)
+        h_r, h_s = c_res(o, d), c_str(o, d)
+        assert np.array_equal(np.asarray(h_r.t), np.asarray(h_s.t))
+        assert np.array_equal(np.asarray(h_r.idx), np.asarray(h_s.idx))
+        for f in ("n", "kd", "ks", "kr"):
+            for c in "xyz":
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(getattr(h_r, f), c)),
+                    np.asarray(getattr(getattr(h_s, f), c)),
+                )
+        m2 = jnp.full(o.x.shape, 25.0, jnp.float32)
+        assert np.array_equal(
+            np.asarray(o_res(o, d, m2)), np.asarray(o_str(o, d, m2))
+        )
+
     def test_pipeline_streams_when_forced(self, tiny_scene):
         from parallel_ray_tracer_tpu import pipeline
         from parallel_ray_tracer_tpu.config import RenderConfig
