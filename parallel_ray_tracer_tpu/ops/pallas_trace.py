@@ -2451,7 +2451,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         combined: bool = False, npop0: int = 0,
                         reverse_shadows: bool = True,
                         npops: "tuple | None" = None,
-                        adaptive: bool = False):
+                        adaptive: bool = False,
+                        num_spheres: int = 0):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
@@ -2466,13 +2467,18 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
                *rest):
+        k = 0
+        if num_spheres:
+            sph = rest[k]
+            k += 1
         if mxu:
-            cmi = rest[0]
-            (r_out, g_out, b_out, istack, lstack, rsc) = rest[1:]
+            cmi = rest[k]
+            k += 1
+            (r_out, g_out, b_out, istack, lstack, rsc) = rest[k:]
             _rmat_init_const(rsc)
         else:
             cmi = None
-            (r_out, g_out, b_out, istack, lstack) = rest
+            (r_out, g_out, b_out, istack, lstack) = rest[k:]
         shape = (SUBLANES, LANES)
         fone = jnp.ones(shape, jnp.float32)
         fzero = jnp.zeros(shape, jnp.float32)
@@ -2484,6 +2490,70 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
 
         def rsq(v):
             return jax.lax.rsqrt(jnp.maximum(v, 1e-30))
+
+        def sphere_t(o, d, a_sp, srow):
+            """Per-sphere batched solve of |o + t*d - c|^2 = r^2 — the
+            exact formulation of ops/intersect.ray_sphere (guarded sqrt /
+            denominator, nearest t > EPSILON in units of |d|, T_MAX on
+            miss). Dead lanes (d == 0) report a_sp == 0 -> miss."""
+            scx, scy, scz, sr = srow[0, 0], srow[0, 1], srow[0, 2], srow[0, 3]
+            ocx, ocy, ocz = o.x - scx, o.y - scy, o.z - scz
+            half_b = ocx * d.x + ocy * d.y + ocz * d.z
+            c_sp = ocx * ocx + ocy * ocy + ocz * ocz - sr * sr
+            disc = half_b * half_b - a_sp * c_sp
+            sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+            a_safe = jnp.where(a_sp > 1e-20, a_sp, fone)
+            t0 = (-half_b - sq) / a_safe
+            t1 = (-half_b + sq) / a_safe
+            ts = jnp.where(t0 > jnp.float32(EPSILON), t0, t1)
+            hit_s = (
+                (disc >= 0.0)
+                & (ts > jnp.float32(EPSILON))
+                & (a_sp > 1e-20)
+            )
+            return jnp.where(hit_s, ts, jnp.float32(T_MAX)), c_sp
+
+        def sphere_closest_merge(sph, o, d, t, nd, av):
+            """Static unrolled dense sphere pass after the BVH leaf phase:
+            merge each sphere's hit into (t, norm_dir, attributes) with
+            strict-< selects — the in-kernel analog of
+            ops/spheres.wrap_tracer + override_attrs (sphere normal is the
+            unnormalized p - c; the shared rsq below unit-normalizes it
+            exactly like the triangle raw normal)."""
+            a_sp = d.x * d.x + d.y * d.y + d.z * d.z
+            for s in range(num_spheres):
+                srow = sph[pl.ds(s, 1), :]
+                ts, c_sp = sphere_t(o, d, a_sp, srow)
+                better = ts < t
+                t = jnp.where(better, ts, t)
+                # origin inside the sphere flips the normal, exactly like
+                # the triangle det-sign flag (nd > 0 -> flip)
+                nd = jnp.where(better, (c_sp < 0.0).astype(jnp.int32), nd)
+                snx = o.x + d.x * ts - srow[0, 0]
+                sny = o.y + d.y * ts - srow[0, 1]
+                snz = o.z + d.z * ts - srow[0, 2]
+                av = (
+                    jnp.where(better, snx, av[0]),
+                    jnp.where(better, sny, av[1]),
+                    jnp.where(better, snz, av[2]),
+                ) + tuple(
+                    jnp.where(better, srow[0, 4 + j], av[3 + j])
+                    for j in range(9)
+                )
+            return t, nd, av
+
+        def sphere_occluded_merge(sph, so, sd, sm2, blocked):
+            """Dense sphere any-hit for the shadow segments: blocked iff a
+            sphere hit lies inside the segment window (t^2 < max_dist2 in
+            units of the unit shadow direction), ops/spheres.wrap_tracer's
+            occluded extension."""
+            a_sp = sd.x * sd.x + sd.y * sd.y + sd.z * sd.z
+            for s in range(num_spheres):
+                srow = sph[pl.ds(s, 1), :]
+                ts, _ = sphere_t(so, sd, a_sp, srow)
+                sh = (ts < jnp.float32(T_MAX)) & (ts * ts < sm2)
+                blocked = blocked | sh.astype(blocked.dtype)
+            return blocked
 
         state0 = (
             ox[:, :], oy[:, :], oz[:, :], dx[:, :], dy[:, :], dz[:, :],
@@ -2513,6 +2583,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
                 combined=combined and mxu, adaptive=adaptive,
             )
+            if num_spheres:
+                t, nd, av = sphere_closest_merge(sph, o, d, t, nd, av)
             is_hit = t < jnp.float32(T_MAX)
             # miss: final += multiplier * ambient, lane dies
             mw = (live & jnp.logical_not(is_hit)).astype(jnp.float32)
@@ -2587,6 +2659,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                     npop=npop, nleaf=nleaf, combined=combined and mxu,
                     adaptive=adaptive,
                 )
+                if num_spheres:
+                    blocked = sphere_occluded_merge(sph, so, sd, sm2, blocked)
                 vis = (
                     jnp.logical_not(backface).astype(jnp.float32)
                     * (1.0 - blocked.astype(jnp.float32))
@@ -2645,20 +2719,23 @@ def frame_tiles(
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     combined: bool = False, npop0: int = 0, reverse_shadows: bool = True,
-    npops: "tuple | None" = None, adaptive: bool = False,
+    npops: "tuple | None" = None, adaptive: bool = False, sph=None,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
     `lamb` is a (num_lights + 1, 8) f32 table: rows 0..L-1 hold
     (light_pos.xyz, light_kl.rgb, 0, 0); the last row holds the ambient
-    color. Matches ops/shade.trace_rays exactly (same masks, same
-    reference quirks)."""
+    color. `sph`, when given, is the (num_spheres, 16) f32 table from
+    pack_spheres — spheres are evaluated as a dense in-kernel pass after
+    each BVH traversal. Matches ops/shade.trace_rays exactly (same masks,
+    same reference quirks)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert arity >= 4, "fused frame kernel needs bvh_width >= 4"
     num_lights = int(lamb.shape[0]) - 1
+    num_spheres = 0 if sph is None else int(sph.shape[0])
     mxu = cmat is not None and arity >= 4 and leaf_size in (4, SUBLANES)
     assert npop in (2, 4, 8)
     kernel = _frame_fused_kernel(
@@ -2666,9 +2743,12 @@ def frame_tiles(
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
         combined=combined and mxu, npop0=npop0,
         reverse_shadows=reverse_shadows, npops=npops, adaptive=adaptive,
+        num_spheres=num_spheres,
     )
-    extra_in = [cmat] if mxu else []
-    extra_specs = _MXU_SPECS if mxu else []
+    extra_in = ([sph] if num_spheres else []) + ([cmat] if mxu else [])
+    extra_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] if num_spheres else []
+    ) + (_MXU_SPECS if mxu else [])
     scratch = [
         pltpu.SMEM((stack_depth,), jnp.int32),
         pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
@@ -2695,6 +2775,27 @@ def frame_tiles(
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, lamb, *extra_in)
     return Vec3(r, g, b)
+
+
+def pack_spheres(ds):
+    """(num_spheres, 16) f32 sphere table for frame_tiles, or None.
+
+    Per row: (cx, cy, cz, r, kd.rgb, ks.rgb, kr.rgb, 0, 0, 0). Material
+    coefficients are resolved at pack time (sph_mat -> material tables),
+    mirroring ops/spheres.override_attrs' lookups, so the kernel needs no
+    per-lane gathers."""
+    S = int(ds.sph_r.shape[0])
+    if S == 0:
+        return None
+    mi = ds.sph_mat
+    cols = [
+        ds.sph_c.x, ds.sph_c.y, ds.sph_c.z, ds.sph_r,
+        ds.kd.x[mi], ds.kd.y[mi], ds.kd.z[mi],
+        ds.ks.x[mi], ds.ks.y[mi], ds.ks.z[mi],
+        ds.kr.x[mi], ds.kr.y[mi], ds.kr.z[mi],
+    ]
+    tab = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols], axis=-1)
+    return jnp.pad(tab, ((0, 0), (0, 3)))
 
 
 def pack_lights(ds) -> "jnp.ndarray":

@@ -331,6 +331,7 @@ def _render_bvh_fused(
         interpret=interpret, stack_depth=stack_depth, compressed=compressed,
         cmat=packed_dev[4] if len(packed_dev) >= 5 else None, npop=npop,
         npop0=npop0, reverse_shadows=reverse_shadows, adaptive=adaptive,
+        sph=pallas_trace.pack_spheres(ds),
     )
     col = col.reshape(o.x.shape[0]).clamp(0.0, 1.0)
     flat = jnp.stack([col.x, col.y, col.z], axis=-1)
@@ -357,13 +358,12 @@ def render_bvh_fused(
 ):
     """Whole-frame fused-kernel render (pallas_trace.frame_tiles): the
     entire bounce loop in ONE kernel launch per packet — no inter-pass
-    barriers or XLA glue. Requires a sphere-free scene and bvh_width >= 4;
+    barriers or XLA glue. Requires bvh_width >= 4; spheres ride a dense
+    in-kernel pass after each BVH traversal (pallas_trace.pack_spheres);
     image matches render_bvh_pallas (tests/test_fused.py)."""
     from .pallas_trace import PACKET
 
     assert tile_rows * tile_cols == PACKET, (tile_rows, tile_cols)
-    assert int(ds.sph_r.shape[0]) == 0, \
-        "fused path requires a sphere-free scene"
     cam_arrays = tuple(
         jnp.asarray(a) for a in ray_basis(cam, width, height)
     )

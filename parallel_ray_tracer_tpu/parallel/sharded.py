@@ -119,9 +119,9 @@ def _render_sharded(
         of = o_sh.reshape(nt_local * K)
         df = d_sh.reshape(nt_local * K)
         if variant == "fused":
-            # Whole-frame kernel per device shard (sphere-free scenes) at
-            # the full production schedule: per-bounce pop widths, MXU
-            # leaves (cmat row), reversed shadow packets.
+            # Whole-frame kernel per device shard at the full production
+            # schedule: per-bounce pop widths, MXU leaves (cmat row),
+            # reversed shadow packets, dense in-kernel sphere pass.
             lamb = pallas_trace.pack_lights(ds_r)
             rows = of.x.shape[0] // pallas_trace.LANES
             col = pallas_trace.frame_tiles(
@@ -132,7 +132,7 @@ def _render_sharded(
                 stack_depth=stack_depth, compressed=compressed,
                 cmat=tracer_r[4] if len(tracer_r) >= 5 else None,
                 npop=npop, npop0=npop0, reverse_shadows=reverse_shadows,
-                adaptive=adaptive,
+                adaptive=adaptive, sph=pallas_trace.pack_spheres(ds_r),
             ).reshape(nt_local * K)
             col = col.clamp(0.0, 1.0)
             return jnp.stack(

@@ -77,9 +77,10 @@ class Pipeline:
 
         "auto" picks the fastest path the prepared state supports: the
         fused whole-frame kernel (the headline configuration) whenever the
-        scene is sphere-free, resident (non-streamed), traced with the
-        any-hit shadow kernels, and packed at bvh_width >= 4 — otherwise
-        the pass-based pallas kernels. USE_BVH=0 always means bruteforce.
+        scene is resident (non-streamed), traced with the any-hit shadow
+        kernels, and packed at bvh_width >= 4 — otherwise the pass-based
+        pallas kernels. Spheres are first-class in the fused kernel (a
+        dense in-kernel pass). USE_BVH=0 always means bruteforce.
         """
         cfg = self.cfg
         variant = variant or cfg.variant
@@ -94,7 +95,6 @@ class Pipeline:
             and not self.stream
             and cfg.fast_light
             and cfg.tile_rows * cfg.tile_cols == pallas_trace.PACKET
-            and int(self.ds.sph_r.shape[0]) == 0
         )
         return "fused" if fused_ok else "pallas"
 
@@ -189,8 +189,6 @@ class Pipeline:
                 y_offset=y0, reverse_shadows=cfg.reverse_shadows,
             )
         if variant == "fused":
-            assert int(self.ds.sph_r.shape[0]) == 0, \
-                "fused band render requires a sphere-free scene"
             return render_ops._render_bvh_fused(
                 self.ds, self.packed_dev, cam_arrays, cfg.width, rows,
                 cfg.bounces, self.leaf_size, cfg.tile_rows, cfg.tile_cols,

@@ -66,22 +66,43 @@ def test_fused_matches_pass_based(tiny_scene, bounces):
     assert np.median(diff) < 1e-5
 
 
-def test_fused_rejects_spheres(tiny_scene):
+@pytest.mark.parametrize("bounces", [1, 3])
+def test_fused_spheres_match_pass_based(tiny_scene, bounces):
+    """Spheres are first-class in the fused kernel: a dense in-kernel
+    pass after each BVH traversal (closest AND shadow segments) must
+    render the same image as the pass-based pallas path, whose sphere
+    support goes through ops/spheres.wrap_tracer + override_attrs.
+    bounces=3 exercises reflections OFF sphere surfaces (kr, normals)."""
     import dataclasses
 
     sc = dataclasses.replace(
         tiny_scene,
-        spheres_center=np.asarray([[0.0, 1.0, 0.0]], np.float32),
-        spheres_radius=np.asarray([0.5], np.float32),
-        spheres_mat=np.asarray([1], np.int32),
+        spheres_center=np.asarray(
+            [[0.0, 1.0, 0.0], [2.0, 0.8, 1.5], [-2.5, 1.4, -1.0]],
+            np.float32,
+        ),
+        spheres_radius=np.asarray([0.8, 0.6, 1.0], np.float32),
+        spheres_mat=np.asarray([1, 2, 0], np.int32),
     )
     cfg = RenderConfig(
-        width=32, height=32, bounces=1, bvh_heuristic=6,
-        tile_rows=8, tile_cols=128, use_native=False,
+        width=32, height=32, bounces=bounces, bvh_heuristic=6,
+        tile_rows=8, tile_cols=128, cam_pos=(0.0, 4.0, -9.0),
+        cam_rot=(20.0, 0.0, 0.0), use_native=False,
     )
     pipe = pipeline.prepare(cfg, scene=sc)
-    with pytest.raises(AssertionError):
-        pipe.render(variant="fused", interpret=True)
+    assert pipe.resolved_variant("auto") == "fused"
+    img_pass = np.asarray(pipe.render(variant="pallas", interpret=True))
+    img_fused = np.asarray(pipe.render(variant="fused", interpret=True))
+    diff = np.abs(img_pass - img_fused)
+    assert (diff.max(axis=-1) < 1e-3).mean() > 0.99, diff.max()
+    assert np.median(diff) < 1e-5
+    # the spheres are actually in frame: they change the image vs the
+    # sphere-free render of the same scene
+    pipe0 = pipeline.prepare(
+        dataclasses.replace(cfg), scene=tiny_scene
+    )
+    img0 = np.asarray(pipe0.render(variant="fused", interpret=True))
+    assert np.abs(img0 - img_fused).max() > 0.05
 
 
 def test_fused_leaf4_mxu_matches_leaf8(tiny_scene):
