@@ -13,8 +13,11 @@ native: parallel_ray_tracer_tpu/native/librtnative.so
 parallel_ray_tracer_tpu/native/librtnative.so: parallel_ray_tracer_tpu/native/src/rtnative.cpp
 	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@
 
+# Full suite, split into a few pytest processes (a single process can
+# SIGABRT inside XLA compilation under accumulated compile load on small
+# hosts — see scripts/run_tests.sh).
 test: native
-	$(PY) -m pytest tests/ -q
+	PY=$(PY) bash scripts/run_tests.sh
 
 bench: native
 	$(PY) bench.py

@@ -254,12 +254,21 @@ def trace_rays_diff(
     bounces: int,
     soft_shadows: bool = False,
     beta: float = 25.0,
+    reverse_shadows: bool = False,
 ) -> Vec3:
     """Differentiable bounce loop: trace_rays with the custom-VJP closest hit
-    and the chosen visibility model."""
-    diff_closest = make_diff_closest(ds, closest_fn)
+    and the chosen visibility model. closest_fn / occluded_fn may be
+    per-bounce sequences (see shade.trace_rays); reverse_shadows threads
+    the production light-origin shadow schedule through (occlusion of a
+    segment is symmetric, so gradients are unaffected)."""
+    cfs = (list(closest_fn) if isinstance(closest_fn, (list, tuple))
+           else [closest_fn])
+    ofs = (list(occluded_fn) if isinstance(occluded_fn, (list, tuple))
+           else [occluded_fn])
+    diff_closest = [make_diff_closest(ds, c) for c in cfs]
     if soft_shadows:
-        occ = make_soft_occluded(ds, closest_fn, beta=beta)
+        occ = [make_soft_occluded(ds, c, beta=beta) for c in cfs]
     else:
-        occ = make_hard_occluded_diff(occluded_fn)
-    return trace_rays(ds, diff_closest, occ, o, d, bounces)
+        occ = [make_hard_occluded_diff(f) for f in ofs]
+    return trace_rays(ds, diff_closest, occ, o, d, bounces,
+                      reverse_shadows=reverse_shadows)

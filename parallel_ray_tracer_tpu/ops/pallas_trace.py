@@ -2441,8 +2441,10 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 # vector ops, and packets proceed through their bounces independently (no
 # inter-pass barriers). Semantics are identical to ops/shade.trace_rays;
 # tests/test_fused.py pins the interpret-mode image to the pass-based one.
-# Scenes with spheres fall back to the pass-based path (the sphere
-# post-pass, ops/spheres.py, is XLA-side).
+# Spheres are first-class: a dense in-kernel sphere pass merges sphere
+# hits after each BVH traversal (closest AND shadow segments) when
+# num_spheres > 0 — see sphere_closest_merge / sphere_occluded_merge
+# below (the pass-based path instead wraps tracers via ops/spheres.py).
 
 
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,

@@ -62,9 +62,15 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # Already initialized (idempotent entry points call this freely).
-        pass
+    except RuntimeError as e:
+        # Idempotent entry points call this freely: tolerate only the
+        # already-initialized case. Anything else (e.g. "must be called
+        # before the XLA backend initializes") is a real bug at the call
+        # site and swallowing it silently degrades a pod run to
+        # process_count() == 1 (exactly what hid the ordering bug in
+        # tests/helpers/mp_render_worker.py).
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def is_primary() -> bool:

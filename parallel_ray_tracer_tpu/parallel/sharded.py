@@ -255,6 +255,9 @@ def make_train_step(
     dual: bool = True,
     stream: bool = False,
     npop: int = 2,
+    npop0: int = 0,
+    fast_light: bool = True,
+    reverse_shadows: bool = True,
     adaptive: bool = False,
 ):
     """Jitted SGD step optimizing vertex positions against a target image.
@@ -303,17 +306,38 @@ def make_train_step(
     rep_sharding = NamedSharding(mesh, P())
 
     def make_tracers(ds):
+        """(closest, occluded) at the FULL production kernel schedule —
+        per-bounce pop widths (npop0), fast-light vs closest-derived
+        occlusion, mirroring ops/render._render_bvh_pallas so the sharded
+        training forward renders exactly what render_sharded renders
+        (round-3 verdict #7; parity pinned by tests/test_sharded.py)."""
         if variant == "pallas":
-            return pallas_trace.make_tracer(
+            closest_fn, occluded_fn = pallas_trace.make_tracer(
                 tracer_data, leaf_size, interpret=interpret, ds=ds,
                 stack_depth=stack_depth, compressed=compressed,
                 dual=dual, stream=stream, npop=npop, adaptive=adaptive,
             )
-        if variant == "jax":
-            return trace_bvh.make_tracer(
+            if npop0 and npop0 != npop:
+                c0, o0 = pallas_trace.make_tracer(
+                    tracer_data, leaf_size, interpret=interpret, ds=ds,
+                    stack_depth=stack_depth, compressed=compressed,
+                    dual=dual, stream=stream, npop=npop0, adaptive=adaptive,
+                )
+                closest_fn = [c0, closest_fn]
+                occluded_fn = [o0, occluded_fn]
+        elif variant == "jax":
+            closest_fn, occluded_fn = trace_bvh.make_tracer(
                 tracer_data, ds, leaf_size, stack_depth, packet=K
             )
-        return make_brute_tracer(ds)
+        else:
+            closest_fn, occluded_fn = make_brute_tracer(ds)
+        if not fast_light:
+            occluded_fn = (
+                [occluded_from_closest(c) for c in closest_fn]
+                if isinstance(closest_fn, list)
+                else occluded_from_closest(closest_fn)
+            )
+        return closest_fn, occluded_fn
 
     def forward_local(verts, o_t: Vec3, d_t: Vec3):
         """(local_tiles, K) rays -> (local_tiles, K, 3) image, diff."""
@@ -325,11 +349,14 @@ def make_train_step(
         of = Vec3(*(p.reshape(-1) for p in o_t))
         df = Vec3(*(p.reshape(-1) for p in d_t))
         closest_fn, occluded_fn = make_tracers(ds)
+        rs = fast_light and reverse_shadows
         if variant == "brute":
+            # the bruteforce oracle never reverses shadows (render.py:94-98)
             col = trace_rays(ds, closest_fn, occluded_fn, of, df, bounces)
         else:
             col = diff.trace_rays_diff(
-                ds, closest_fn, occluded_fn, of, df, bounces
+                ds, closest_fn, occluded_fn, of, df, bounces,
+                reverse_shadows=rs,
             )
         col = col.clamp(0.0, 1.0)
         return jnp.stack([col.x, col.y, col.z], axis=-1).reshape(

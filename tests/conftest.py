@@ -27,6 +27,20 @@ if not os.environ.get("RT_TEST_TPU"):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound XLA compile-state growth across the suite.
+
+    A whole-suite run has SIGABRTed inside backend_compile_and_load under
+    accumulated compile load (round-3 verdict); dropping jit caches at
+    module boundaries keeps per-process live compilations to one module's
+    worth. Disable with RT_TEST_NO_CLEARCACHE=1 when iterating on a
+    single module (caches then persist across its parametrizations)."""
+    yield
+    if not os.environ.get("RT_TEST_NO_CLEARCACHE"):
+        jax.clear_caches()
+
 REFERENCE_ASSETS = "/root/reference/assets"
 
 

@@ -207,6 +207,71 @@ class TestShardedTraining:
             np.asarray(vp1), np.asarray(vb1), atol=1e-5
         )
 
+    def test_train_forward_matches_render_sharded(self, tiny_scene, mesh):
+        """The training-step forward must render EXACTLY what
+        render_sharded renders at identical flags (round-3 verdict #7:
+        make_train_step silently dropped npop0/fast_light/
+        reverse_shadows). With target = the rendered image, the loss of
+        the first step must be ~0."""
+        from parallel_ray_tracer_tpu.ops import pallas_trace
+        from parallel_ray_tracer_tpu.ops.bvh import build_bvh
+        from parallel_ray_tracer_tpu.ops.bvh_flat import flatten_bvh
+
+        tv = tiny_scene.triangle_vertices()
+        bvh = build_bvh(tv, heuristic=6, leaf_threshold=8)
+        flat = flatten_bvh(bvh, tv, leaf_size=8)
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        attr = pallas_trace.pack_attr(
+            flat, tiny_scene.mat_idx, tiny_scene.mats_kd,
+            tiny_scene.mats_ks, tiny_scene.mats_kr,
+        )
+        packed_dev = (
+            jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+            jnp.asarray(packed.tri), jnp.asarray(attr),
+        )
+        sd = pallas_trace.required_stack_depth(flat.depth, 4)
+        flags = dict(npop=8, npop0=2, fast_light=True,
+                     reverse_shadows=True, adaptive=True)
+        from parallel_ray_tracer_tpu.models.camera import default_camera
+        from parallel_ray_tracer_tpu.models.device_scene import (
+            build_device_scene,
+        )
+
+        ds = build_device_scene(
+            jnp.asarray(tiny_scene.verts), tiny_scene.faces,
+            tiny_scene.mat_idx, tiny_scene.mats_kd, tiny_scene.mats_ks,
+            tiny_scene.mats_kr, tiny_scene.lights_pos,
+            tiny_scene.lights_kl, slot_map=flat.slot_map,
+        )
+        img = np.asarray(
+            sharded.render_sharded(
+                ds, packed_dev, default_camera(), 64, 32, mesh,
+                bounces=1, leaf_size=8, stack_depth=sd,
+                variant="pallas", interpret=True, **flags,
+            )
+        )
+        step_p, prep_p = sharded.make_train_step(
+            tiny_scene, mesh, 64, 32, bounces=1, lr=0.0,
+            variant="pallas", tracer_data=packed_dev, leaf_size=8,
+            stack_depth=sd, slot_map=flat.slot_map, interpret=True,
+            **flags,
+        )
+        # image -> tile-major target, padded to the device count
+        tiles = (
+            jnp.asarray(img).reshape(1, 32, 2, 32, 3)
+            .swapaxes(1, 2).reshape(2, 1024, 3)
+        )
+        target = jnp.concatenate(
+            [tiles, jnp.zeros((6, 1024, 3), jnp.float32)], axis=0
+        )
+        v, o_t, d_t, _ = prep_p()
+        tgt = jax.device_put(
+            target, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("tiles"))
+        )
+        _, loss = step_p(v, o_t, d_t, tgt)
+        assert float(loss) < 1e-12, float(loss)
+
     def test_gradients_match_single_device(self, tiny_scene, mesh):
         """The sharded step must equal an unsharded one numerically."""
         step8, prep8 = sharded.make_train_step(

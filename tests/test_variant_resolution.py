@@ -24,7 +24,9 @@ class TestResolvedVariant:
         assert pipe.cfg.variant == "auto"
         assert pipe.resolved_variant() == "fused"
 
-    def test_auto_falls_back_to_pallas_with_spheres(self, tiny_scene):
+    def test_auto_keeps_fused_with_spheres(self, tiny_scene):
+        """Spheres are first-class in the fused kernel since round 3 (dense
+        in-kernel sphere pass, ops/pallas_trace.py) — auto stays fused."""
         scene = dataclasses.replace(
             tiny_scene,
             spheres_center=np.array([[0.0, 0.0, 1.5]], np.float32),
@@ -32,7 +34,7 @@ class TestResolvedVariant:
             spheres_mat=np.array([1], np.int32),
         )
         pipe = pipeline.prepare(RenderConfig(**CFG), scene=scene)
-        assert pipe.resolved_variant() == "pallas"
+        assert pipe.resolved_variant() == "fused"
 
     def test_auto_falls_back_without_fast_light(self, tiny_scene):
         pipe = pipeline.prepare(
