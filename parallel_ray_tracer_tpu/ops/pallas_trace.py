@@ -152,9 +152,10 @@ def pack_bvh(flat: FlatBVH, tri_verts: np.ndarray, bf16: bool = False) -> Packed
 
     # Triangle group rows: slot s = g*L + j lives at lanes [12j, 12j+12) of
     # row g; pad slots (slot_map == -1) stay all-zero (n == 0 -> always miss).
-    # One trailing all-zero NULL group (index G) pads partial leaf pops in
-    # the combined-schedule kernels: a zero triangle has det == 0, so it
-    # can never hit (closest candidates stay T_MAX, any-hit never blocks).
+    # One trailing all-zero NULL group (index G): a zero triangle has
+    # det == 0, so it can never hit (closest candidates stay T_MAX,
+    # any-hit never blocks); the streaming ring fetches it harmlessly on
+    # padded pops.
     tv = np.asarray(tri_verts, np.float32)
     G = flat.n_slots // L
     sm = flat.slot_map
@@ -1249,19 +1250,6 @@ def _leaf_pops(lstack, lsp, nleaf: int):
     return gs, jnp.maximum(lsp - nleaf, 0)
 
 
-def _leaf_pops_null(lstack, lsp, nleaf: int, nullg):
-    """Pop up to `nleaf` pending leaf groups; short pops yield the NULL
-    group (index nullg: all-zero triangles, det == 0, can never hit).
-
-    The combined-schedule variant of _leaf_pops: with lsp possibly 0 there
-    is no last group to repeat, so absent pops must be explicit no-ops."""
-    gs = []
-    for i in range(nleaf):
-        slot = jnp.maximum(lsp - 1 - i, 0)
-        gs.append(jnp.where(i < lsp, -lstack[slot] - 1, nullg))
-    return gs, jnp.maximum(lsp - nleaf, 0)
-
-
 def default_nleaf(npop: int, L: int) -> int:
     """MXU leaf pop width: half an MXU pass (M = 4L * nleaf = 64 rows) at
     every pop width. For L=8 that is nleaf=2 — measured best at wide pop
@@ -1315,30 +1303,35 @@ def _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, max_dist2, L: int = 8):
     return blocked
 
 
+def _visit_width(isp, npop: int, adaptive: bool):
+    """Inner-visit slot width actually executed this iteration (counters
+    instrumentation; mirrors _adaptive_inner_visit's switch)."""
+    if not adaptive or npop <= 2:
+        return jnp.int32(max(npop, 2))
+    if npop >= 8:
+        return jnp.where(isp > 4, jnp.int32(8),
+                         jnp.where(isp > 2, jnp.int32(4), jnp.int32(2)))
+    return jnp.where(isp > 2, jnp.int32(4), jnp.int32(2))
+
+
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
                       counters: bool = False, mxu=None, npop: int = 2,
-                      nleaf: int = 2, combined: bool = False,
-                      adaptive: bool = False):
+                      nleaf: int = 2, adaptive: bool = False):
     """Full multi-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
     kernel (which runs it once per bounce, reusing the same stacks).
     counters=True appends (inner_iters, leaf_iters, pad_slots, dead_pops,
-    leaf_group_pops) scalars to
+    leaf_group_pops, inner_slots, leaf_slots) scalars to
     the return tuple (see _run_occluded_dual). mxu, when given, is
     (Rh, Rl, cmi) and switches leaf evaluation to the MXU path. npop > 2
     selects the wide-pop inner visit (NULL-padded); nleaf > 2 pops that
     many leaf groups per MXU leaf visit (duplicate-padded).
 
-    combined=True (needs mxu) runs the combined schedule: EVERY iteration
-    pops nleaf leaf groups (NULL-group padded) AND npop inner nodes
-    (NULL-node padded) — the MXU leaf matmul and the two VPU dependency
-    chains (leaf winner/merge, inner slab/sort) are independent within an
-    iteration and the hardware overlaps them almost fully (measured
-    1.05 us for leaf4+inner8 vs 0.85 + 0.86 us separately,
-    scripts/microbench_overlap.py), so iterations ~ max(streams) instead
-    of sum. Counters then report (iterations, leaf visits, pad slots)."""
+    (The measured-and-rejected combined and paired schedules were
+    retired in round 4; DESIGN 9b keeps their findings and
+    scripts/microbench_overlap.py the overlap measurement.)"""
     istack[0] = jnp.int32(0)
 
     def leafn(gs, t, idx, nd, av):
@@ -1371,124 +1364,97 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 nd = jnp.where(better, ndj.astype(jnp.int32), nd)
         return t, idx, nd, av
 
-    if combined:
-        assert mxu is not None, "combined schedule needs the MXU leaf path"
-        nullg = jnp.int32(tri.shape[0] - 1)
+    def body(state):
+        isp, lsp, t, idx, nd, av = state[:6]
+        cnt = state[6:]
 
-        def body(state):
-            isp, lsp, t, idx, nd, av = state[:6]
-            cnt = state[6:]
-            if counters:
-                pad = (
-                    (jnp.int32(npop) - jnp.minimum(isp, npop))
-                    + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
+        def do_leaf(args):
+            isp, lsp, t, idx, nd, av = args[:6]
+            cnt = args[6:]
+            lsp0 = lsp
+            if mxu is not None and adaptive:
+                # Width-switched leaf pops, same idea as the adaptive
+                # inner visit: pop the narrowest width {b, 2b, 4b}
+                # (b = the 64-row half-pass budget, nleaf=2 at L=8)
+                # covering the pending count. Sequential strict-<
+                # merges keep any width bit-identical to repeated
+                # narrow pops.
+                b = default_nleaf(npop, L)
+
+                def lw(n):
+                    def f(a):
+                        lsp, t, idx, nd, av = a
+                        gs, lsp = _leaf_pops(lstack, lsp, n)
+                        t, idx, nd, av = leafn(gs, t, idx, nd, av)
+                        return (lsp, t, idx, nd, av)
+                    return f
+
+                a0 = (lsp, t, idx, nd, av)
+                f2 = lambda a: jax.lax.cond(
+                    a[0] > b, lw(2 * b), lw(b), a
                 )
-                cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
-                       cnt[2] + pad, cnt[3],
-                       cnt[4] + jnp.minimum(lsp, nleaf))
-            gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
-            t, idx, nd, av = leafn(gs, t, idx, nd, av)
-            # Backpressure: the combined schedule pushes up to npop*arity
-            # leaf entries per iteration while popping only nleaf, so a
-            # bursty subtree can transiently exceed the leaf stack. When
-            # it nears capacity, NULL the inner pops for this iteration
-            # (pushes nothing; leaves keep draining) — correct for ANY
-            # stack size, merely slower in the (rare) gated iterations.
-            gate = lsp <= jnp.int32(lstack.shape[0] - npop * arity)
-            isp2, lsp = _wide_inner_visit(
-                qbox, qmeta, oi, inv, t, istack, lstack,
-                jnp.where(gate, isp, 0), lsp,
-                npop, arity, compressed,
-            )
-            isp = jnp.where(gate, isp2, isp)
-            return (isp, lsp, t, idx, nd, av) + cnt
-    else:
-        def body(state):
-            isp, lsp, t, idx, nd, av = state[:6]
-            cnt = state[6:]
-
-            def do_leaf(args):
-                isp, lsp, t, idx, nd, av = args[:6]
-                cnt = args[6:]
-                lsp0 = lsp
-                if mxu is not None and adaptive:
-                    # Width-switched leaf pops, same idea as the adaptive
-                    # inner visit: pop the narrowest width {b, 2b, 4b}
-                    # (b = the 64-row half-pass budget, nleaf=2 at L=8)
-                    # covering the pending count. Sequential strict-<
-                    # merges keep any width bit-identical to repeated
-                    # narrow pops.
+                lsp, t, idx, nd, av = jax.lax.cond(
+                    a0[0] > 2 * b, lw(4 * b), f2, a0
+                )
+            elif mxu is not None:
+                # Pop nleaf groups per visit (duplicate pops when fewer
+                # are pending — idempotent under the strict-< merge).
+                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                t, idx, nd, av = leafn(gs, t, idx, nd, av)
+            else:
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                t, idx, nd, av = leaf(g, t, idx, nd, av)
+            if counters:
+                if mxu is None:
+                    pops = jnp.int32(1)
+                    lw = jnp.int32(1)
+                elif adaptive:
                     b = default_nleaf(npop, L)
-
-                    def lw(n):
-                        def f(a):
-                            lsp, t, idx, nd, av = a
-                            gs, lsp = _leaf_pops(lstack, lsp, n)
-                            t, idx, nd, av = leafn(gs, t, idx, nd, av)
-                            return (lsp, t, idx, nd, av)
-                        return f
-
-                    a0 = (lsp, t, idx, nd, av)
-                    f2 = lambda a: jax.lax.cond(
-                        a[0] > b, lw(2 * b), lw(b), a
+                    pops = jnp.minimum(lsp0, 4 * b)
+                    lw = jnp.where(
+                        lsp0 > 2 * b, jnp.int32(4 * b),
+                        jnp.where(lsp0 > b, jnp.int32(2 * b),
+                                  jnp.int32(b)),
                     )
-                    lsp, t, idx, nd, av = jax.lax.cond(
-                        a0[0] > 2 * b, lw(4 * b), f2, a0
-                    )
-                elif mxu is not None:
-                    # Pop nleaf groups per visit (duplicate pops when fewer
-                    # are pending — idempotent under the strict-< merge).
-                    gs, lsp = _leaf_pops(lstack, lsp, nleaf)
-                    t, idx, nd, av = leafn(gs, t, idx, nd, av)
                 else:
-                    lsp = lsp - 1
-                    g = -lstack[lsp] - 1
-                    t, idx, nd, av = leaf(g, t, idx, nd, av)
-                if counters:
-                    if mxu is None:
-                        pops = jnp.int32(1)
-                    elif adaptive:
-                        b4 = 4 * default_nleaf(npop, L)
-                        pops = jnp.minimum(lsp0, b4)
-                    else:
-                        pops = jnp.minimum(lsp0, nleaf)
-                    cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
-                           cnt[4] + pops)
-                return (isp, lsp, t, idx, nd, av) + cnt
+                    pops = jnp.minimum(lsp0, nleaf)
+                    lw = jnp.int32(nleaf)
+                cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
+                       cnt[4] + pops, cnt[5], cnt[6] + lw)
+            return (isp, lsp, t, idx, nd, av) + cnt
 
-            def do_inner(args):
-                isp, lsp, t, idx, nd, av = args[:6]
-                cnt = args[6:]
+        def do_inner(args):
+            isp, lsp, t, idx, nd, av = args[:6]
+            cnt = args[6:]
+            if counters:
+                w = _visit_width(isp, npop, adaptive)
+                pad = w - jnp.minimum(isp, w)
+                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
+                       cnt[4], cnt[5] + w, cnt[6])
+            if adaptive and npop > 2:
+                isp, lsp = _adaptive_inner_visit(
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                    npop, arity, compressed,
+                )
+            elif npop > 2:
+                res_v = _wide_inner_visit(
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                    npop, arity, compressed, count_dead=counters,
+                )
                 if counters:
-                    pad = (
-                        jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
-                        else (isp < 2).astype(jnp.int32)
-                    )
-                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
-                           cnt[4])
-                if adaptive and npop > 2:
-                    isp, lsp = _adaptive_inner_visit(
-                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
-                    )
-                elif npop > 2:
-                    res_v = _wide_inner_visit(
-                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        npop, arity, compressed, count_dead=counters,
-                    )
-                    if counters:
-                        isp, lsp, dead_v = res_v
-                        cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
-                    else:
-                        isp, lsp = res_v
+                    isp, lsp, dead_v = res_v
+                    cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
                 else:
-                    isp, lsp = _dual_inner_visit(
-                        qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        arity, compressed,
-                    )
-                return (isp, lsp, t, idx, nd, av) + cnt
+                    isp, lsp = res_v
+            else:
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
+            return (isp, lsp, t, idx, nd, av) + cnt
 
-            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
     zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
     init = (
@@ -1498,7 +1464,7 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
         jnp.full((SUBLANES, LANES), -1, jnp.int32),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         tuple(zero for _ in range(n_attr)),
-    ) + ((jnp.int32(0),) * 5 if counters else ())
+    ) + ((jnp.int32(0),) * 7 if counters else ())
     out = jax.lax.while_loop(
         lambda s: (s[0] > 0) | (s[1] > 0), body, init
     )
@@ -1511,147 +1477,119 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
                        counters: bool = False, mxu=None, npop: int = 2,
-                       nleaf: int = 2, combined: bool = False,
-                       adaptive: bool = False):
+                       nleaf: int = 2, adaptive: bool = False):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_iters,
-    pad_slots, dead_pops, leaf_group_pops) scalars — debug instrumentation for visit accounting
+    pad_slots, dead_pops, leaf_group_pops, inner_slots, leaf_slots) scalars — debug instrumentation for visit accounting
     (scripts/profile_visits.py); keeps the production path free of the
     extra scalar adds. mxu, when given, is (Rh, Rl, cmi) and switches
-    leaf evaluation to the MXU path. npop/nleaf/combined as in
+    leaf evaluation to the MXU path. npop/nleaf as in
     _run_closest_dual.
     """
     t_limit = jnp.sqrt(max_dist2)
     istack[0] = jnp.int32(0)
 
-    if combined:
-        assert mxu is not None, "combined schedule needs the MXU leaf path"
-        nullg = jnp.int32(tri.shape[0] - 1)
-        Rh, Rl, cmi = mxu
+    def body(state):
+        isp, lsp, blocked, all_blocked = state[:4]
+        cnt = state[4:]
 
-        def body(state):
-            isp, lsp, blocked, all_blocked = state[:4]
-            cnt = state[4:]
-            if counters:
-                pad = (
-                    (jnp.int32(npop) - jnp.minimum(isp, npop))
-                    + (jnp.int32(nleaf) - jnp.minimum(lsp, nleaf))
+        def do_leaf(args):
+            isp, lsp, blocked, all_blocked = args[:4]
+            cnt = args[4:]
+            lsp0 = lsp
+            if mxu is not None and adaptive:
+                Rh, Rl, cmi = mxu
+                b = default_nleaf(npop, L)
+
+                def lw(n):
+                    def f(a):
+                        lsp, blocked = a
+                        gs, lsp = _leaf_pops(lstack, lsp, n)
+                        blocked = _mxu_leaf_occluded_n(
+                            cmi, Rh, Rl, gs, blocked, max_dist2, L
+                        )
+                        return (lsp, blocked)
+                    return f
+
+                a0 = (lsp, blocked)
+                f2 = lambda a: jax.lax.cond(
+                    a[0] > b, lw(2 * b), lw(b), a
                 )
-                cnt = (cnt[0] + 1, cnt[1] + jnp.minimum(lsp, nleaf),
-                       cnt[2] + pad, cnt[3],
-                       cnt[4] + jnp.minimum(lsp, nleaf))
-            gs, lsp = _leaf_pops_null(lstack, lsp, nleaf, nullg)
-            blocked = _mxu_leaf_occluded_n(
-                cmi, Rh, Rl, gs, blocked, max_dist2, L
-            )
+                lsp, blocked = jax.lax.cond(a0[0] > 2 * b, lw(4 * b), f2, a0)
+            elif mxu is not None:
+                Rh, Rl, cmi = mxu
+                gs, lsp = _leaf_pops(lstack, lsp, nleaf)
+                blocked = _mxu_leaf_occluded_n(
+                    cmi, Rh, Rl, gs, blocked, max_dist2, L
+                )
+            else:
+                lsp = lsp - 1
+                g = -lstack[lsp] - 1
+                row = tri[pl.ds(g, 1), :].astype(jnp.float32)
+                for j in range(L):
+                    tj, _ = _mt_scalar_tri(o, d, row, j)
+                    hit = (tj < T_MAX) & (tj * tj < max_dist2)
+                    blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
             all_blocked = jnp.min(blocked)
-            t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-            # Backpressure (see _run_closest_dual's combined body).
-            gate = lsp <= jnp.int32(lstack.shape[0] - npop * arity)
-            isp2, lsp = _wide_inner_visit(
-                qbox, qmeta, oi, inv, t_cut, istack, lstack,
-                jnp.where(gate, isp, 0), lsp,
-                npop, arity, compressed,
-            )
-            isp = jnp.where(gate, isp2, isp)
-            return (isp, lsp, blocked, all_blocked) + cnt
-    else:
-        def body(state):
-            isp, lsp, blocked, all_blocked = state[:4]
-            cnt = state[4:]
-
-            def do_leaf(args):
-                isp, lsp, blocked, all_blocked = args[:4]
-                cnt = args[4:]
-                lsp0 = lsp
-                if mxu is not None and adaptive:
-                    Rh, Rl, cmi = mxu
+            if counters:
+                if mxu is None:
+                    pops = jnp.int32(1)
+                    lw = jnp.int32(1)
+                elif adaptive:
                     b = default_nleaf(npop, L)
-
-                    def lw(n):
-                        def f(a):
-                            lsp, blocked = a
-                            gs, lsp = _leaf_pops(lstack, lsp, n)
-                            blocked = _mxu_leaf_occluded_n(
-                                cmi, Rh, Rl, gs, blocked, max_dist2, L
-                            )
-                            return (lsp, blocked)
-                        return f
-
-                    a0 = (lsp, blocked)
-                    f2 = lambda a: jax.lax.cond(
-                        a[0] > b, lw(2 * b), lw(b), a
-                    )
-                    lsp, blocked = jax.lax.cond(a0[0] > 2 * b, lw(4 * b), f2, a0)
-                elif mxu is not None:
-                    Rh, Rl, cmi = mxu
-                    gs, lsp = _leaf_pops(lstack, lsp, nleaf)
-                    blocked = _mxu_leaf_occluded_n(
-                        cmi, Rh, Rl, gs, blocked, max_dist2, L
+                    pops = jnp.minimum(lsp0, 4 * b)
+                    lw = jnp.where(
+                        lsp0 > 2 * b, jnp.int32(4 * b),
+                        jnp.where(lsp0 > b, jnp.int32(2 * b),
+                                  jnp.int32(b)),
                     )
                 else:
-                    lsp = lsp - 1
-                    g = -lstack[lsp] - 1
-                    row = tri[pl.ds(g, 1), :].astype(jnp.float32)
-                    for j in range(L):
-                        tj, _ = _mt_scalar_tri(o, d, row, j)
-                        hit = (tj < T_MAX) & (tj * tj < max_dist2)
-                        blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
-                all_blocked = jnp.min(blocked)
-                if counters:
-                    if mxu is None:
-                        pops = jnp.int32(1)
-                    elif adaptive:
-                        b4 = 4 * default_nleaf(npop, L)
-                        pops = jnp.minimum(lsp0, b4)
-                    else:
-                        pops = jnp.minimum(lsp0, nleaf)
-                    cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
-                           cnt[4] + pops)
-                return (isp, lsp, blocked, all_blocked) + cnt
+                    pops = jnp.minimum(lsp0, nleaf)
+                    lw = jnp.int32(nleaf)
+                cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
+                       cnt[4] + pops, cnt[5], cnt[6] + lw)
+            return (isp, lsp, blocked, all_blocked) + cnt
 
-            def do_inner(args):
-                isp, lsp, blocked, all_blocked = args[:4]
-                cnt = args[4:]
+        def do_inner(args):
+            isp, lsp, blocked, all_blocked = args[:4]
+            cnt = args[4:]
+            if counters:
+                w = _visit_width(isp, npop, adaptive)
+                pad = w - jnp.minimum(isp, w)
+                cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
+                       cnt[4], cnt[5] + w, cnt[6])
+            t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
+            if adaptive and npop > 2:
+                isp, lsp = _adaptive_inner_visit(
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                    npop, arity, compressed,
+                )
+            elif npop > 2:
+                res_v = _wide_inner_visit(
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                    npop, arity, compressed, count_dead=counters,
+                )
                 if counters:
-                    pad = (
-                        jnp.int32(npop) - jnp.minimum(isp, npop) if npop > 2
-                        else (isp < 2).astype(jnp.int32)
-                    )
-                    cnt = (cnt[0] + 1, cnt[1], cnt[2] + pad, cnt[3],
-                           cnt[4])
-                t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
-                if adaptive and npop > 2:
-                    isp, lsp = _adaptive_inner_visit(
-                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
-                    )
-                elif npop > 2:
-                    res_v = _wide_inner_visit(
-                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                        npop, arity, compressed, count_dead=counters,
-                    )
-                    if counters:
-                        isp, lsp, dead_v = res_v
-                        cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
-                    else:
-                        isp, lsp = res_v
+                    isp, lsp, dead_v = res_v
+                    cnt = cnt[:3] + (cnt[3] + dead_v,) + cnt[4:]
                 else:
-                    isp, lsp = _dual_inner_visit(
-                        qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                        arity, compressed,
-                    )
-                return (isp, lsp, blocked, all_blocked) + cnt
+                    isp, lsp = res_v
+            else:
+                isp, lsp = _dual_inner_visit(
+                    qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
+                    arity, compressed,
+                )
+            return (isp, lsp, blocked, all_blocked) + cnt
 
-            return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
+        return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
     init = (
         jnp.int32(1),
         jnp.int32(0),
         jnp.zeros((SUBLANES, LANES), jnp.int32),
         jnp.int32(0),
-    ) + ((jnp.int32(0),) * 5 if counters else ())
+    ) + ((jnp.int32(0),) * 7 if counters else ())
     out = jax.lax.while_loop(
         lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[3] == 0), body, init
     )
@@ -1663,13 +1601,12 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False, counters: bool = False,
                          mxu: bool = False, npop: int = 2, nleaf: int = 2,
-                         combined: bool = False, adaptive: bool = False):
+                         adaptive: bool = False):
     """Multi-pop closest hit; with n_attr=12 also tracks surface attributes.
 
     mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
     VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest_n).
-    npop/nleaf select the wide-pop schedule (_wide_inner_visit); combined
-    runs the leaf+inner combined schedule (see _run_closest_dual)."""
+    npop/nleaf select the wide-pop schedule (_wide_inner_visit)."""
 
     def kernel(*refs):
         nc = 1 if counters else 0
@@ -1698,7 +1635,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, combined=combined, adaptive=adaptive,
+            npop=npop, nleaf=nleaf, adaptive=adaptive,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1709,12 +1646,10 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         if counters:
             cnt = res[4]
             r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-            outs[-1][:, :] = jnp.where(
-                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
-                                          jnp.where(r == 2, cnt[2],
-                                                    jnp.where(r == 3, cnt[3],
-                                                              jnp.where(r == 4, cnt[4], 0))))
-            )
+            out_c = jnp.int32(0)
+            for k in reversed(range(7)):
+                out_c = jnp.where(r == k, cnt[k], out_c)
+            outs[-1][:, :] = out_c
 
     return kernel
 
@@ -1722,7 +1657,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
                           counters: bool = False, mxu: bool = False,
                           npop: int = 2, nleaf: int = 2,
-                          combined: bool = False, adaptive: bool = False):
+                          adaptive: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
@@ -1742,138 +1677,18 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, combined=combined, adaptive=adaptive,
+            npop=npop, nleaf=nleaf, adaptive=adaptive,
         )
         if counters:
             blocked, cnt = res
             out[:, :] = blocked
             r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-            rest[0][:, :] = jnp.where(
-                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
-                                          jnp.where(r == 2, cnt[2],
-                                                    jnp.where(r == 3, cnt[3],
-                                                              jnp.where(r == 4, cnt[4], 0))))
-            )
+            out_c = jnp.int32(0)
+            for k in reversed(range(7)):
+                out_c = jnp.where(r == k, cnt[k], out_c)
+            rest[0][:, :] = out_c
         else:
             out[:, :] = res
-
-    return kernel
-
-
-def _occluded_pair_kernel(L: int, arity: int, compressed: bool = False,
-                          npop: int = 4, nleaf: int = 4):
-    """Any-hit over TWO independent 1024-ray packets per kernel instance.
-
-    The single-packet loop is chain-latency-bound: each visit's vector ops
-    form dependency chains the VPU cannot fill (scripts/
-    microbench_overlap.py measures an inner8 visit + an MXU leaf4 visit
-    issued in ONE basic block at 0.91 us vs 0.85 + 0.67 us apart — the
-    hardware overlaps independent streams almost fully). Two packets'
-    traversals ARE independent streams, so each loop iteration advances
-    BOTH packets one visit, selected by a 4-way branch on the two visit
-    kinds so every combination stays a single basic block (ILP does not
-    cross lax.cond boundaries). Iterations ~ max(itersA, itersB) instead
-    of itersA + itersB; adjacent image tiles have similar cost, bounding
-    the pairing waste.
-
-    MXU leaf path only (the production configuration); npop >= 4 so a
-    drained packet's inner visits degrade to NULL pops instead of reading
-    garbage. Packet A = ray rows [0, 8), packet B = rows [8, 16)."""
-    assert npop >= 4, "paired kernels need the wide-pop NULL-padded visit"
-
-    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, cmi,
-               out, istA, lstA, istB, lstB, rscA, rscB):
-        def rays_of(lo):
-            return _load_rays(
-                ox[lo:lo + SUBLANES, :], oy[lo:lo + SUBLANES, :],
-                oz[lo:lo + SUBLANES, :], dx[lo:lo + SUBLANES, :],
-                dy[lo:lo + SUBLANES, :], dz[lo:lo + SUBLANES, :],
-            )
-
-        oA, dA, invA, oiA = rays_of(0)
-        oB, dB, invB, oiB = rays_of(SUBLANES)
-        m2A = m2[0:SUBLANES, :]
-        m2B = m2[SUBLANES:2 * SUBLANES, :]
-        tlimA = jnp.sqrt(m2A)
-        tlimB = jnp.sqrt(m2B)
-        _rmat_init_const(rscA)
-        _rmat_init_const(rscB)
-        RhA, RlA = _rmat_load(rscA, oA, dA)
-        RhB, RlB = _rmat_load(rscB, oB, dB)
-        istA[0] = jnp.int32(0)
-        istB[0] = jnp.int32(0)
-
-        def leaf_step(which, lsp, blocked):
-            lst = lstA if which == 0 else lstB
-            Rh, Rl = (RhA, RlA) if which == 0 else (RhB, RlB)
-            md2 = m2A if which == 0 else m2B
-            gs, lsp = _leaf_pops(lst, lsp, nleaf)
-            blocked = _mxu_leaf_occluded_n(cmi, Rh, Rl, gs, blocked, md2, L)
-            return lsp, blocked
-
-        def inner_step(which, isp, lsp, blocked):
-            ist, lst = (istA, lstA) if which == 0 else (istB, lstB)
-            oi, inv = (oiA, invA) if which == 0 else (oiB, invB)
-            tlim = tlimA if which == 0 else tlimB
-            t_cut = jnp.where(blocked > 0, jnp.float32(0.0), tlim)
-            return _wide_inner_visit(
-                qbox, qmeta, oi, inv, t_cut, ist, lst, isp, lsp,
-                npop, arity, compressed,
-            )
-
-        def body(state):
-            ispA, lspA, ispB, lspB, blkA, blkB = state
-
-            def stepA_leaf(s):
-                ispA, lspA, ispB, lspB, blkA, blkB = s
-                lspA, blkA = leaf_step(0, lspA, blkA)
-                return ispA, lspA, ispB, lspB, blkA, blkB
-
-            def stepA_inner(s):
-                ispA, lspA, ispB, lspB, blkA, blkB = s
-                ispA, lspA = inner_step(0, ispA, lspA, blkA)
-                return ispA, lspA, ispB, lspB, blkA, blkB
-
-            def both(a_fn):
-                def ll(s):
-                    s = a_fn(s)
-                    ispA, lspA, ispB, lspB, blkA, blkB = s
-                    lspB, blkB = leaf_step(1, lspB, blkB)
-                    return ispA, lspA, ispB, lspB, blkA, blkB
-
-                def li(s):
-                    s = a_fn(s)
-                    ispA, lspA, ispB, lspB, blkA, blkB = s
-                    ispB, lspB = inner_step(1, ispB, lspB, blkB)
-                    return ispA, lspA, ispB, lspB, blkA, blkB
-
-                return ll, li
-
-            a_leaf_ll, a_leaf_li = both(stepA_leaf)
-            a_inner_ll, a_inner_li = both(stepA_inner)
-
-            def a_leaf(s):
-                return jax.lax.cond(s[3] > 0, a_leaf_ll, a_leaf_li, s)
-
-            def a_inner(s):
-                return jax.lax.cond(s[3] > 0, a_inner_ll, a_inner_li, s)
-
-            return jax.lax.cond(lspA > 0, a_leaf, a_inner, state)
-
-        def pending(isp, lsp, blk):
-            return ((isp > 0) | (lsp > 0)) & (jnp.min(blk) == 0)
-
-        init = (
-            jnp.int32(1), jnp.int32(0), jnp.int32(1), jnp.int32(0),
-            jnp.zeros((SUBLANES, LANES), jnp.int32),
-            jnp.zeros((SUBLANES, LANES), jnp.int32),
-        )
-        fin = jax.lax.while_loop(
-            lambda s: pending(s[0], s[1], s[4]) | pending(s[2], s[3], s[5]),
-            body, init,
-        )
-        out[0:SUBLANES, :] = fin[4]
-        out[SUBLANES:2 * SUBLANES, :] = fin[5]
 
     return kernel
 
@@ -1952,7 +1767,10 @@ def _slot_wait(hbms, rings, sems, R, blk, r):
 
 def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
     """Make block `blk` valid in some slot; returns
-    (slot, ring_b, ring_w, clock)."""
+    (slot, ring_b, ring_w, clock, synced) — synced = 1 iff the block was
+    absent from the ring and had to be fetched SYNCHRONOUSLY (start+wait
+    with no compute in between: the un-hidden DMA case the prefetcher
+    exists to avoid; counted by the stream counters mode)."""
     fr = jnp.int32(-1)
     for i in range(R):
         fr = jnp.where(ring_b[i] == blk, jnp.int32(i), fr)
@@ -1966,7 +1784,8 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
 
         jax.lax.cond(_ring_sel(ring_w, fr) == 0, do_wait,
                      lambda _: jnp.int32(0), 0)
-        return fr, ring_b, _ring_set(ring_w, fr, jnp.int32(1)), clock
+        return (fr, ring_b, _ring_set(ring_w, fr, jnp.int32(1)), clock,
+                jnp.int32(0))
 
     def fetch(args):
         ring_b, ring_w, clock = args
@@ -1986,6 +1805,7 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
             _ring_set(ring_b, v, blk),
             _ring_set(ring_w, v, jnp.int32(1)),
             clock + 1,
+            jnp.int32(1),
         )
 
     return jax.lax.cond(fr >= 0, use_found, fetch, (ring_b, ring_w, clock))
@@ -2060,23 +1880,29 @@ def _ring_drain(hbms, rings, sems, R, ring_b, ring_w):
 
 def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                            compressed: bool = False, npop: int = 2,
-                           adaptive: bool = False,
+                           adaptive: bool = False, counters: bool = False,
                            R: int = STREAM_RING, kpre: int = STREAM_KPRE):
     """Closest hit with HBM-streamed leaf rows (block-ring-buffered).
 
     Inner visits run the production wide/adaptive pop schedule on the
     VMEM-resident node tables; each leaf visit evaluates ONE group on the
-    VPU (see the section comment for why the MXU leaf is not streamed)."""
+    VPU (see the section comment for why the MXU leaf is not streamed).
+    counters=True appends a per-tile i32 output whose sublanes hold
+    (inner_iters, leaf_group_evals, sync_fetches, block_fills): fills =
+    total started block DMAs (the final ring clock), syncs = fills that
+    were start+wait with no compute in between — the stream roofline's
+    overlap accounting (scripts/profile_stream.py)."""
 
     def kernel(*refs):
+        nc = 1 if counters else 0
         ox, oy, oz, dx, dy, dz, qbox, qmeta, tri = refs[:9]
         p = 9
         attr = None
         if n_attr:
             attr = refs[p]
             p += 1
-        outs = refs[p:p + 3 + n_attr]
-        rest = refs[p + 3 + n_attr:]
+        outs = refs[p:p + 3 + n_attr + nc]
+        rest = refs[p + 3 + n_attr + nc:]
         istack, lstack = rest[0], rest[1]
         q = 2
         rings = [rest[q]]
@@ -2110,16 +1936,20 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
             return t, idx, nd, av
 
         def body(state):
-            isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = state
+            isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = state[:9]
+            cnt = state[9:]
 
             def do_leaf(args):
-                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args
+                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args[:9]
+                cnt = args[9:]
                 lsp = lsp - 1
                 g = -lstack[lsp] - 1
                 blk = g // STREAM_BLK
-                slot, ring_b, ring_w, clock = _ring_use(
+                slot, ring_b, ring_w, clock, synced = _ring_use(
                     hbms, rings, sems, R, blk, ring_b, ring_w, clock
                 )
+                if counters:
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2] + synced)
                 # Prefetch BEFORE the eval: the next pending blocks' DMAs
                 # get the whole leaf evaluation (~400 ns of vector work)
                 # as lead time instead of issuing at the iteration tail
@@ -2142,20 +1972,29 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                 )
 
                 def second(a):
-                    lsp, t, idx, nd, av = a
+                    lsp, t, idx, nd, av = a[:5]
+                    c2 = a[5:]
                     t, idx, nd, av = leaf_update(
                         slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
                     )
-                    return lsp - 1, t, idx, nd, av
+                    if counters:
+                        c2 = (c2[0], c2[1] + 1, c2[2])
+                    return (lsp - 1, t, idx, nd, av) + c2
 
-                lsp, t, idx, nd, av = jax.lax.cond(
+                res2 = jax.lax.cond(
                     (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                    second, lambda a: a, (lsp, t, idx, nd, av),
+                    second, lambda a: a, (lsp, t, idx, nd, av) + cnt,
                 )
-                return isp, lsp, clock, ring_b, ring_w, t, idx, nd, av
+                lsp, t, idx, nd, av = res2[:5]
+                cnt = res2[5:]
+                return (isp, lsp, clock, ring_b, ring_w, t, idx, nd,
+                        av) + cnt
 
             def do_inner(args):
-                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args
+                isp, lsp, clock, ring_b, ring_w, t, idx, nd, av = args[:9]
+                cnt = args[9:]
+                if counters:
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2])
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
@@ -2175,7 +2014,8 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                     hbms, rings, sems, R, lstack, lsp, kpre,
                     ring_b, ring_w, clock,
                 )
-                return isp, lsp, clock, ring_b, ring_w, t, idx, nd, av
+                return (isp, lsp, clock, ring_b, ring_w, t, idx, nd,
+                        av) + cnt
 
             return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
@@ -2188,28 +2028,44 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
             jnp.full((SUBLANES, LANES), -1, jnp.int32),
             jnp.zeros((SUBLANES, LANES), jnp.int32),
             tuple(zero for _ in range(n_attr)),
-        )
+        ) + ((jnp.int32(0),) * 3 if counters else ())
         state = jax.lax.while_loop(
             lambda s: (s[0] > 0) | (s[1] > 0), body, init
         )
-        _, _, _, ring_b, ring_w, t, idx, nd, av = state
+        _, _, clock, ring_b, ring_w, t, idx, nd, av = state[:9]
         _ring_drain(hbms, rings, sems, R, ring_b, ring_w)
         t_out[:, :] = t
         idx_out[:, :] = idx
         nd_out[:, :] = nd
-        for ref, val in zip(outs[3:], av):
+        for ref, val in zip(outs[3:3 + n_attr], av):
             ref[:, :] = val
+        if counters:
+            cnt = state[9:]
+            r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            outs[-1][:, :] = jnp.where(
+                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
+                                          jnp.where(r == 2, cnt[2],
+                                                    jnp.where(r == 3, clock,
+                                                              0)))
+            )
 
     return kernel
 
 
 def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                             npop: int = 2, adaptive: bool = False,
+                            counters: bool = False,
                             R: int = STREAM_RING, kpre: int = STREAM_KPRE):
-    """Any-hit occlusion with HBM-streamed leaf rows (block-ring)."""
+    """Any-hit occlusion with HBM-streamed leaf rows (block-ring).
+    counters as in _closest_stream_kernel."""
 
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
-               istack, lstack, tri_ring, sems):
+               *rest):
+        cnt_out = None
+        if counters:
+            cnt_out = rest[0]
+            rest = rest[1:]
+        istack, lstack, tri_ring, sems = rest
         rings = [tri_ring]
         hbms = [tri]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
@@ -2218,7 +2074,8 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
         istack[0] = jnp.int32(0)
 
         def body(state):
-            isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = state
+            isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = state[:7]
+            cnt = state[7:]
 
             def leaf_eval(slot, off, blocked):
                 row_i = slot * STREAM_BLK + off
@@ -2230,13 +2087,16 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                 return blocked
 
             def do_leaf(args):
-                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args
+                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args[:7]
+                cnt = args[7:]
                 lsp = lsp - 1
                 g = -lstack[lsp] - 1
                 blk = g // STREAM_BLK
-                slot, ring_b, ring_w, clock = _ring_use(
+                slot, ring_b, ring_w, clock, synced = _ring_use(
                     hbms, rings, sems, R, blk, ring_b, ring_w, clock
                 )
+                if counters:
+                    cnt = (cnt[0], cnt[1] + 1, cnt[2] + synced)
                 # Prefetch before the eval (see the closest kernel).
                 ring_b, ring_w, clock = _ring_prefetch(
                     hbms, rings, sems, R, lstack, lsp, kpre,
@@ -2250,20 +2110,28 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                 )
 
                 def second(a):
-                    lsp, blocked = a
-                    return lsp - 1, leaf_eval(
-                        slot, g2 - blk * STREAM_BLK, blocked
-                    )
+                    lsp, blocked = a[:2]
+                    c2 = a[2:]
+                    blocked = leaf_eval(slot, g2 - blk * STREAM_BLK, blocked)
+                    if counters:
+                        c2 = (c2[0], c2[1] + 1, c2[2])
+                    return (lsp - 1, blocked) + c2
 
-                lsp, blocked = jax.lax.cond(
+                res2 = jax.lax.cond(
                     (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                    second, lambda a: a, (lsp, blocked),
+                    second, lambda a: a, (lsp, blocked) + cnt,
                 )
+                lsp, blocked = res2[:2]
+                cnt = res2[2:]
                 all_blocked = jnp.min(blocked)
-                return isp, lsp, clock, ring_b, ring_w, blocked, all_blocked
+                return (isp, lsp, clock, ring_b, ring_w, blocked,
+                        all_blocked) + cnt
 
             def do_inner(args):
-                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args
+                isp, lsp, clock, ring_b, ring_w, blocked, all_blocked = args[:7]
+                cnt = args[7:]
+                if counters:
+                    cnt = (cnt[0] + 1, cnt[1], cnt[2])
                 t_cut = jnp.where(blocked > 0, jnp.float32(0.0), t_limit)
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
@@ -2284,7 +2152,8 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                     hbms, rings, sems, R, lstack, lsp, kpre,
                     ring_b, ring_w, clock,
                 )
-                return isp, lsp, clock, ring_b, ring_w, blocked, all_blocked
+                return (isp, lsp, clock, ring_b, ring_w, blocked,
+                        all_blocked) + cnt
 
             return jax.lax.cond(lsp > 0, do_leaf, do_inner, state)
 
@@ -2294,13 +2163,22 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
             tuple(jnp.int32(1) for _ in range(R)),
             jnp.zeros((SUBLANES, LANES), jnp.int32),
             jnp.int32(0),
-        )
+        ) + ((jnp.int32(0),) * 3 if counters else ())
         state = jax.lax.while_loop(
             lambda s: ((s[0] > 0) | (s[1] > 0)) & (s[6] == 0), body, init
         )
-        _, _, _, ring_b, ring_w, blocked, _ = state
+        _, _, clock, ring_b, ring_w, blocked, _ = state[:7]
         _ring_drain(hbms, rings, sems, R, ring_b, ring_w)
         out[:, :] = blocked
+        if counters:
+            cnt = state[7:]
+            r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            cnt_out[:, :] = jnp.where(
+                r == 0, cnt[0], jnp.where(r == 1, cnt[1],
+                                          jnp.where(r == 2, cnt[2],
+                                                    jnp.where(r == 3, clock,
+                                                              0)))
+            )
 
     return kernel
 
@@ -2450,7 +2328,7 @@ def _closest_attr_kernel(L: int, arity: int, compressed: bool = False):
 def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         compressed: bool = False, mxu: bool = False,
                         npop: int = 2, nleaf: int = 2,
-                        combined: bool = False, npop0: int = 0,
+                        npop0: int = 0,
                         reverse_shadows: bool = True,
                         npops: "tuple | None" = None,
                         adaptive: bool = False,
@@ -2583,7 +2461,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             t, _, nd, av = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
-                combined=combined and mxu, adaptive=adaptive,
+                adaptive=adaptive,
             )
             if num_spheres:
                 t, nd, av = sphere_closest_merge(sph, o, d, t, nd, av)
@@ -2658,7 +2536,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                 blocked = _run_occluded_dual(
                     qbox, qmeta, tri, so, sd, sinv, soi, sm2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
-                    npop=npop, nleaf=nleaf, combined=combined and mxu,
+                    npop=npop, nleaf=nleaf,
                     adaptive=adaptive,
                 )
                 if num_spheres:
@@ -2712,7 +2590,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     jax.jit,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
-        "npop", "nleaf", "combined", "npop0", "reverse_shadows", "npops",
+        "npop", "nleaf", "npop0", "reverse_shadows", "npops",
         "adaptive",
     ),
 )
@@ -2720,7 +2598,7 @@ def frame_tiles(
     cbox, cmeta, tri, attr, lamb, o: Vec3, d: Vec3, *, bounces: int,
     leaf_size: int, interpret: bool = False, stack_depth: int = STACK_DEPTH,
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
-    combined: bool = False, npop0: int = 0, reverse_shadows: bool = True,
+    npop0: int = 0, reverse_shadows: bool = True,
     npops: "tuple | None" = None, adaptive: bool = False, sph=None,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
@@ -2743,7 +2621,7 @@ def frame_tiles(
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-        combined=combined and mxu, npop0=npop0,
+        npop0=npop0,
         reverse_shadows=reverse_shadows, npops=npops, adaptive=adaptive,
         num_spheres=num_spheres,
     )
@@ -2753,8 +2631,7 @@ def frame_tiles(
     ) + (_MXU_SPECS if mxu else [])
     scratch = [
         pltpu.SMEM((stack_depth,), jnp.int32),
-        pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
-                    else stack_depth,), jnp.int32),
+        pltpu.SMEM((stack_depth,), jnp.int32),
     ]
     if mxu:
         scratch = scratch + [_RMAT_SCRATCH]
@@ -2864,21 +2741,24 @@ def _pad_stream_rows(a):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf", "combined", "adaptive",
+        "stream", "counters", "npop", "nleaf", "adaptive",
     ),
 )
 def closest_tiles(
     cbox, cmeta, tri, o: Vec3, d: Vec3, leaf_size: int, interpret: bool = False,
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
-    cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
+    cmat=None, npop: int = 2, nleaf: int = 0,
     adaptive: bool = False,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
-    counters=True (dual path only) also returns an (ntiles, 5) int32 array
-    of per-packet (inner_iters, leaf_iters, pad_slots, dead_pops,
-    leaf_group_pops)."""
+    counters=True also returns an (ntiles, 7) int32 array per packet:
+    dual path — (inner_iters, leaf_iters, pad_slots, dead_pops,
+    leaf_group_pops, inner_slots, leaf_slots) where *_slots sum the
+    executed visit widths (adaptive-aware; the roofline's exact work
+    units); streamed path — (inner_iters, leaf_group_evals,
+    sync_fetches, block_fills, 0, 0, 0)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
@@ -2891,8 +2771,9 @@ def closest_tiles(
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
-    assert not (counters and (stream or not (dual and arity >= 4))), \
-        "counters need the non-streamed dual-pop kernels"
+    assert not (counters and not stream
+                and not (dual and arity >= 4)), \
+        "counters need the streamed or dual-pop kernels"
     assert npop in (2, 4, 8) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
@@ -2914,7 +2795,7 @@ def closest_tiles(
         tri = _pad_stream_rows(tri)
         kernel = _closest_stream_kernel(
             leaf_size, arity, compressed=compressed, npop=npop,
-            adaptive=adaptive,
+            adaptive=adaptive, counters=counters,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
@@ -2923,12 +2804,11 @@ def closest_tiles(
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu, adaptive=adaptive,
+            adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
-                        else stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth,), jnp.int32),
         ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
@@ -2955,7 +2835,7 @@ def closest_tiles(
     t, idx, nd = outs[:3]
     hit = Hit(t=t, idx=idx, norm_dir=nd.astype(bool))
     if counters:
-        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :5, 0]
+        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :7, 0]
         return hit, cnt
     return hit
 
@@ -2964,14 +2844,14 @@ def closest_tiles(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "npop", "nleaf", "combined", "adaptive",
+        "stream", "npop", "nleaf", "adaptive",
     ),
 )
 def closest_tiles_full(
     cbox, cmeta, tri, attr, o: Vec3, d: Vec3, leaf_size: int,
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
-    cmat=None, npop: int = 2, nleaf: int = 0, combined: bool = False,
+    cmat=None, npop: int = 2, nleaf: int = 0,
     adaptive: bool = False,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
@@ -3016,12 +2896,11 @@ def closest_tiles_full(
         kernel = _closest_dual_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
             npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu, adaptive=adaptive,
+            adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
-                        else stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth,), jnp.int32),
         ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
@@ -3057,7 +2936,7 @@ def closest_tiles_full(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf", "combined", "paired",
+        "stream", "counters", "npop", "nleaf",
         "adaptive",
     ),
 )
@@ -3066,21 +2945,25 @@ def occluded_tiles(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
-    combined: bool = False, paired: bool = False, adaptive: bool = False,
+    adaptive: bool = False,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
-    counters=True (dual path only) also returns an (ntiles, 5) int32 array
-    of per-packet (inner_iters, leaf_iters, pad_slots, dead_pops,
-    leaf_group_pops)."""
+    counters=True also returns an (ntiles, 7) int32 array per packet:
+    dual path — (inner_iters, leaf_iters, pad_slots, dead_pops,
+    leaf_group_pops, inner_slots, leaf_slots) where *_slots sum the
+    executed visit widths (adaptive-aware; the roofline's exact work
+    units); streamed path — (inner_iters, leaf_group_evals,
+    sync_fetches, block_fills, 0, 0, 0)."""
     rows = o.x.shape[0]
     assert o.x.shape == (rows, LANES) and rows % SUBLANES == 0
     ntiles = rows // SUBLANES
     arity = {16: 2, 32: 4, 64: 8}[cbox.shape[1]]
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
-    assert not (counters and (stream or not (dual and arity >= 4))), \
-        "counters need the non-streamed dual-pop kernels"
+    assert not (counters and not stream
+                and not (dual and arity >= 4)), \
+        "counters need the streamed or dual-pop kernels"
     assert npop in (2, 4, 8) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
@@ -3096,38 +2979,11 @@ def occluded_tiles(
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
-    if paired:
-        assert mxu and not stream and not counters and npop >= 4 and \
-            ntiles % 2 == 0, "paired needs mxu, npop >= 4, even tile count"
-        kernel = _occluded_pair_kernel(
-            leaf_size, arity, compressed=compressed, npop=npop,
-            nleaf=nleaf or 4,
-        )
-        pair_block = pl.BlockSpec(
-            (2 * SUBLANES, LANES), lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        )
-        blocked = pl.pallas_call(
-            kernel,
-            grid=(ntiles // 2,),
-            out_shape=out_shape[0],
-            in_specs=[pair_block] * 7 + _scene_specs(False) + _MXU_SPECS,
-            out_specs=pair_block,
-            scratch_shapes=(
-                [pltpu.SMEM((stack_depth,), jnp.int32)] * 4
-                + [_RMAT_SCRATCH] * 2
-            ),
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_LIMIT_BYTES
-            ),
-            interpret=interpret,
-        )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, cmat)
-        return blocked
     if stream:
         tri = _pad_stream_rows(tri)
         kernel = _occluded_stream_kernel(
             leaf_size, arity, compressed=compressed, npop=npop,
-            adaptive=adaptive,
+            adaptive=adaptive, counters=counters,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
@@ -3136,12 +2992,11 @@ def occluded_tiles(
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            combined=combined and mxu, adaptive=adaptive,
+            adaptive=adaptive,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.SMEM((max(stack_depth, 512) if (combined and mxu)
-                        else stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth,), jnp.int32),
         ]
         if mxu:
             scratch = scratch + [_RMAT_SCRATCH]
@@ -3166,7 +3021,7 @@ def occluded_tiles(
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, max_dist2, cbox, cmeta, tri, *extra_in)
     if counters:
-        cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :5, 0]
+        cnt = outs[1].reshape(ntiles, SUBLANES, LANES)[:, :7, 0]
         return outs[0].astype(bool), cnt
     return outs[0].astype(bool)
 
@@ -3174,7 +3029,7 @@ def occluded_tiles(
 def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 stack_depth: int = STACK_DEPTH, dual: bool = False,
                 compressed: bool = False, stream: bool = False,
-                npop: int = 2, combined: bool = False,
+                npop: int = 2,
                 adaptive: bool = False):
     """(closest, occluded) over flat (R,) ray planes, R % 1024 == 0.
 
@@ -3206,7 +3061,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
                 cbox, cmeta, tri, attr, o2, d2,
                 leaf_size=leaf_size, interpret=interpret,
                 stack_depth=stack_depth, dual=dual, compressed=compressed,
-                stream=stream, cmat=cmat, npop=npop, combined=combined,
+                stream=stream, cmat=cmat, npop=npop,
                 adaptive=adaptive,
             )
             return HitFull(
@@ -3219,7 +3074,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             cbox, cmeta, tri, o2, d2,
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop, combined=combined, adaptive=adaptive,
+            npop=npop, adaptive=adaptive,
         )
         return Hit(
             t=h.t.reshape(R), idx=h.idx.reshape(R), norm_dir=h.norm_dir.reshape(R)
@@ -3235,7 +3090,7 @@ def make_tracer(packed_dev, leaf_size: int, interpret: bool = False, ds=None,
             max_dist2.reshape(rows, LANES),
             leaf_size=leaf_size, interpret=interpret, stack_depth=stack_depth,
             dual=dual, compressed=compressed, stream=stream, cmat=cmat,
-            npop=npop, combined=combined, adaptive=adaptive,
+            npop=npop, adaptive=adaptive,
         )
         return blocked.reshape(R)
 

@@ -68,8 +68,6 @@ def main():
     ap.add_argument("--pops", default=None,
                     help="comma list: per-bounce pop widths for the fused "
                          "kernel (overrides --pop/--pop0), e.g. 2,4,8,8")
-    ap.add_argument("--combined", action="store_true",
-                    help="combined leaf+inner iteration schedule")
     ap.add_argument("--leaf-size", type=int, default=None,
                     help="triangles per leaf group (4 or 8; default 8)")
     ap.add_argument("--bf16", action="store_true",
@@ -120,13 +118,13 @@ def main():
                 o, d = rays(eps)
                 closest_fn, occluded_fn = pallas_trace.make_tracer(
                     packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
-                    npop=args.pop, combined=args.combined,
+                    npop=args.pop,
                     compressed=pipe.compressed, adaptive=args.adaptive,
                 )
                 if args.pop0 and args.pop0 != args.pop:
                     c0, o0 = pallas_trace.make_tracer(
                         packed, leaf, ds=ds, stack_depth=sdepth, dual=True,
-                        npop=args.pop0, combined=args.combined,
+                        npop=args.pop0,
                         compressed=pipe.compressed,
                     )
                     closest_fn = [c0, closest_fn]
@@ -156,7 +154,7 @@ def main():
                     compressed=pipe.compressed,
                     cmat=packed[4] if len(packed) >= 5 else None,
                     npop=args.pop, nleaf=args.nleaf,
-                    combined=args.combined, npop0=args.pop0,
+                    npop0=args.pop0,
                     npops=(tuple(int(x) for x in args.pops.split(","))
                            if args.pops else None),
                     adaptive=args.adaptive,
@@ -179,7 +177,6 @@ def main():
         + (f"_nl{args.nleaf}" if args.nleaf else "")
         + ("_adpt" if args.adaptive else "")
         + ("_bf16" if args.bf16 else "")
-        + ("_comb" if args.combined else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")
     )
     out = os.path.join(

@@ -149,10 +149,6 @@ def main():
                     help="wide-pop width (inner nodes per visit)")
     ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8),
                     help="leaf groups per MXU leaf visit (0 = auto)")
-    ap.add_argument("--combined", action="store_true",
-                    help="combined leaf+inner iteration schedule")
-    ap.add_argument("--paired", action="store_true",
-                    help="two packets per kernel instance (occluded only)")
     ap.add_argument("--adaptive", action="store_true",
                     help="width-switched inner/leaf pops (production)")
     ap.add_argument("--reverse", action="store_true",
@@ -184,8 +180,7 @@ def main():
     sets, ds, closest_fn = bounce_ray_sets(pipe, args.bounces)
 
     results = {
-        "pop": args.pop, "nleaf": args.nleaf, "combined": args.combined,
-        "paired": args.paired, "adaptive": args.adaptive,
+        "pop": args.pop, "nleaf": args.nleaf, "adaptive": args.adaptive,
         "bvh_width": args.width, "dual": bool(args.dual),
         "presplit": args.presplit,
         "true_sah": bool(args.true_sah), "leaf_size": pipe.leaf_size,
@@ -207,7 +202,7 @@ def main():
                     cbox, cmeta, tri, Vec3(ox, _o2.y, _o2.z), _d2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
                     compressed=comp, cmat=cmat, npop=args.pop,
-                    nleaf=args.nleaf, combined=args.combined,
+                    nleaf=args.nleaf,
                     adaptive=args.adaptive,
                 )
                 return ox + jnp.where(h.t < 1.0, h.t, 0.0) * 1e-12
@@ -244,8 +239,7 @@ def main():
                     cbox, cmeta, tri, Vec3(px, _so2.y, _so2.z), _sd2, _sm2,
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
                     compressed=comp, cmat=cmat, npop=args.pop,
-                    nleaf=args.nleaf, combined=args.combined,
-                    paired=args.paired, adaptive=args.adaptive,
+                    nleaf=args.nleaf, adaptive=args.adaptive,
                 )
                 return px + blocked.astype(jnp.float32) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -264,8 +258,6 @@ def main():
         + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
         + (f"_pop{args.pop}" if args.pop != 2 else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
-        + ("_comb" if args.combined else "")
-        + ("_pair" if args.paired else "")
         + ("_adpt" if args.adaptive else "")
         + ("_rev" if args.reverse else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")

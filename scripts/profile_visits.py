@@ -67,6 +67,13 @@ def stats(cnt: np.ndarray) -> dict:
         # Real leaf GROUP pops (excluding duplicate padding) — the
         # schedule-independent leaf work unit for the roofline.
         out["leaf_group_pops_total"] = int(cnt[:, 4].sum())
+    if cnt.shape[1] >= 7:
+        # Executed visit-slot totals (adaptive-aware widths): the EXACT
+        # work units the roofline prices — inner_slots x 116 vreg-ops,
+        # leaf_slots x per-group epilogue (round-4; replaces the fixed
+        # npop x iterations model that went stale under adaptive pops).
+        out["inner_slots_total"] = int(cnt[:, 5].sum())
+        out["leaf_slots_total"] = int(cnt[:, 6].sum())
     return out
 
 
@@ -78,7 +85,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8))
     ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8))
-    ap.add_argument("--combined", action="store_true")
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--scene", default="car_boxed")
     args = ap.parse_args()
@@ -110,7 +116,7 @@ def main():
         _, cnt = pallas_trace.closest_tiles(
             cbox, cmeta, tri, o2, d2, leaf_size=leaf, stack_depth=sdepth,
             dual=True, counters=True, npop=args.pop, nleaf=args.nleaf,
-            cmat=cmat, combined=args.combined, adaptive=args.adaptive,
+            cmat=cmat, adaptive=args.adaptive,
         )
         report[f"closest_b{b}"] = stats(np.asarray(cnt))
         print(f"closest_b{b}", report[f"closest_b{b}"], flush=True)
@@ -122,7 +128,7 @@ def main():
             cbox, cmeta, tri, so2, sd2, sm2.reshape(rows, 128),
             leaf_size=leaf, stack_depth=sdepth, dual=True, counters=True,
             npop=args.pop, nleaf=args.nleaf, cmat=cmat,
-            combined=args.combined, adaptive=args.adaptive,
+            adaptive=args.adaptive,
         )
         report[f"occluded_b{b}"] = stats(np.asarray(ocnt))
         print(f"occluded_b{b}", report[f"occluded_b{b}"], flush=True)
@@ -132,7 +138,6 @@ def main():
         "metrics", "profile_visits"
         + (f"_pop{args.pop}" if args.pop != 2 else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
-        + ("_comb" if args.combined else "")
         + ("_adpt" if args.adaptive else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")
         + ".json",
