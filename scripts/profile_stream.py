@@ -149,7 +149,8 @@ def main():
                 (inner + leafs) * iter_cost_ns / 1e6
             )
             entry["compute_floor_basis"] = (
-                "extrapolated from the 300k resident per-iteration cost"
+                "extrapolated from the largest resident scene's "
+                "per-iteration cost"
             )
         entry["overlap_floor_ms"] = max(
             entry["compute_floor_ms"], entry["dma_floor_ms"]

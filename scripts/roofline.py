@@ -1,32 +1,38 @@
-"""Speed-of-light / roofline accounting for the traversal kernels.
+"""Speed-of-light / roofline accounting for the traversal kernels (v2).
 
-Answers the round-1 verdict's open question — "is 200M rays/s actually
-fast for this chip?" — from committed measurements, with every hardware
-assumption explicit. Reads metrics/profile_visits_pop8.json (union visit
-counts per packet, production pop8 schedule) and the measured pass/frame
-times, writes metrics/roofline.json.
+Round-4 rebuild (round-3 verdict #3): the work model now prices the
+SHIPPED schedule — adaptive width-switched inner AND leaf pops — using
+the exact executed-slot counters the kernels emit
+(inner_slots/leaf_slots in metrics/profile_visits_pop8_adpt*.json),
+instead of the retired fixed-pop8 iteration model. Adds the dragon
+north-star row (VPU leaf path) and the streamed-pass floor
+(metrics/profile_stream.json).
 
-Hardware model (TPU v5e, public figures; the VPU issue-rate assumption
-is stated explicitly because it dominates the floor):
+Hardware model (TPU v5e, public figures + this repo's microbenchmarks):
   - clock ~940 MHz
-  - VPU: one (8,128) vector unit; THEORETICAL peak ~4 vreg-ops/cycle
-    (4 lane-ALUs, scaling-book model) but the ACHIEVED issue rate on
-    this workload's dependent elementwise chains is ~1 vreg-op/cycle —
-    measured directly by scripts/microbench_mxu_leaf.py (433 ns for a
-    ~407-op straight-line visit). Both floors are reported.
-  - MXU: 197 TFLOP/s bf16 (not the binding unit here: one 128-row MT
-    matmul per leaf iteration is ~2 MFLOP ~ 10 ns)
-  - HBM ~819 GB/s (irrelevant: scene+BVH are VMEM-resident)
+  - VPU issue rates, all measured on this chip
+    (metrics/microbench_bf16.json, scripts/microbench_bf16.py):
+      peak        ~4 vreg-ops/cycle — 4 lane-ALUs, never observed on
+                  real kernel bodies
+      ILP         ~2.1 vreg-ops/cycle (0.51 ns/op on 4 independent
+                  mul-sub chains) — the best issue rate independent
+                  work has reached on this core
+      serial      ~1.0 vreg-op/cycle (2.4 ns measured on a dependent
+                  chain ~ latency; straight-line visit bodies measured
+                  1.06 ns/op) — the rate dependent chains retire at
+    The production visit body lands BETWEEN serial and ILP (0.67
+    ns/vreg from natural cross-child ILP, microbench_tiled.py); the
+    round-4 attempts to force the ILP rate (stacked tiles, MXU-
+    evaluated slabs, bf16 lanes) all measured slower end-to-end —
+    docs/DESIGN.md 9b. Both the serial and ILP floors are reported:
+    serial is the floor a schedule like this one reaches, ILP is the
+    hardware's demonstrated ceiling for restructured work.
 
-Work model (counted from the kernel source, ops/pallas_trace.py):
-  - inner visit (one BVH4 node, 4 slab tests over a (8,128) packet):
-    ~116 vreg-ops (docs/DESIGN.md 9b) -> pop8 iteration = 8 visits
-    = 928 vreg-ops => achieved-issue floor ~987 ns, peak floor ~247 ns
-  - leaf iteration (MXU path, nleaf=4 groups of L=8): the MT quantities
-    ride one MXU pass (~10 ns); the VPU epilogue (t/u/v window tests,
-    hit select, attribute resolve) is ~100 vreg-ops per group
-    -> ~400 vreg-ops; the accounting charges it the same 928-op floor
-    (conservative; measured iteration cost is kind-uniform, DESIGN 9b).
+Work model (counted from ops/pallas_trace.py, priced per executed SLOT):
+  - inner slot (one 4-wide node visit): ~116 vreg-ops
+  - leaf slot, MXU path: ~100 vreg-ops/group epilogue (the matmul is
+    ~10 ns on the MXU and never binds)
+  - leaf slot, VPU path (dragon, streamed): ~400 vreg-ops/group
 """
 
 from __future__ import annotations
@@ -37,106 +43,147 @@ import os
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CLOCK_HZ = 0.94e9
-VREG_OPS_PER_CYCLE_PEAK = 4.0       # theoretical: 4 lane-ALUs (scaling book)
-VREG_OPS_PER_CYCLE_MEAS = 1.0       # achieved: microbench_mxu_leaf measured
-                                    # 433 ns for ~407 straight-line vector
-                                    # ops (BENCHMARKS.md) -> ~1 vreg-op/cycle
-INNER_OPS_PER_VISIT = 116           # vreg-ops per 4-wide node visit
-POP = 8                             # production wide-pop width
-NLEAF = 4                           # leaf groups per leaf iteration (L=8)
-PACKETS = 2040                      # 1920x1080 in 32x32 tiles (60 x 34)
-N_RAYS = 2040 * 1024
+RATE_PEAK = 4.0                 # vreg-ops/cycle, theoretical
+RATE_ILP = 1.064 / 0.51         # ~2.09: measured ILP4 chain issue
+RATE_SERIAL = 1.0               # measured dependent-chain retire rate
+INNER_OPS_PER_SLOT = 116
+LEAF_OPS_MXU = 100
+LEAF_OPS_VPU = 400
+N_RAYS = 2040 * 1024            # 1920x1080 in 32x32 tiles
 
-# Measured pass times at the SAME config the visit profile used
-# (true-sah, mxu, pop8): metrics/bench_pass_w4_dual_tsah_mxu_pop8.json.
-PASS_MS = {
-    "closest_b0": 13.78, "occluded_b0": 18.04,
-    "closest_b1": 27.27, "occluded_b1": 33.00,
-    "closest_b2": 41.54, "occluded_b2": 44.94,
-}
-FRAME_FUSED_MS = 265.0              # production frame (p02 + reversed shadows)
+
+def _ops(prof, leaf_ops):
+    return (prof["inner_slots_total"] * INNER_OPS_PER_SLOT
+            + prof["leaf_slots_total"] * leaf_ops)
+
+
+def _floors(ops):
+    return {
+        "ops": ops,
+        "floor_serial_ms": ops / RATE_SERIAL / CLOCK_HZ * 1e3,
+        "floor_ilp_ms": ops / RATE_ILP / CLOCK_HZ * 1e3,
+        "floor_peak_ms": ops / RATE_PEAK / CLOCK_HZ * 1e3,
+    }
 
 
 def main() -> None:
-    with open(os.path.join(ROOT, "metrics", "profile_visits_pop8.json")) as f:
+    with open(os.path.join(ROOT, "metrics",
+                           "profile_visits_pop8_adpt.json")) as f:
         prof = json.load(f)
+    with open(os.path.join(
+            ROOT, "metrics",
+            "bench_pass_w4_dual_tsah_mxu_pop8_adpt.json")) as f:
+        passes = json.load(f)
 
-    ops_per_iter = POP * INNER_OPS_PER_VISIT
-    floor_peak_s = ops_per_iter / VREG_OPS_PER_CYCLE_PEAK / CLOCK_HZ
-    inner_iter_floor_s = ops_per_iter / VREG_OPS_PER_CYCLE_MEAS / CLOCK_HZ
+    # Production full-frame measurement (bench.py; updated each round).
+    frame_ms = 228.5
+
     out = {
         "assumptions": {
             "clock_hz": CLOCK_HZ,
-            "vreg_ops_per_cycle_peak": VREG_OPS_PER_CYCLE_PEAK,
-            "vreg_ops_per_cycle_measured": VREG_OPS_PER_CYCLE_MEAS,
-            "inner_ops_per_visit": INNER_OPS_PER_VISIT,
-            "pop": POP, "nleaf": NLEAF, "packets": PACKETS,
-            "vpu_peak_lane_ops_per_s": VREG_OPS_PER_CYCLE_PEAK * CLOCK_HZ * 1024,
+            "rates_vreg_ops_per_cycle": {
+                "peak": RATE_PEAK, "ilp_measured": RATE_ILP,
+                "serial_measured": RATE_SERIAL,
+            },
+            "inner_ops_per_slot": INNER_OPS_PER_SLOT,
+            "leaf_ops_per_group_mxu": LEAF_OPS_MXU,
+            "leaf_ops_per_group_vpu": LEAF_OPS_VPU,
+            "schedule": "adaptive {2,4,8} inner + leaf pops, MXU leaf",
         },
-        "iter_floor_peak_ns": floor_peak_s * 1e9,
-        "iter_floor_achieved_issue_ns": inner_iter_floor_s * 1e9,
         "passes": {},
     }
 
-    total_iters = 0.0
-    total_floor_ms = 0.0
-    for name, ms in PASS_MS.items():
-        p = prof.get(name)
-        if p is None:
-            continue
-        # pop8 iterations already counted as iterations; leaf visits are
-        # retired NLEAF groups per leaf iteration.
-        iters = p["inner_iters_total"] + p["leaf_visits_total"] / NLEAF
-        meas_iter_us = ms * 1e3 / iters
-        floor_ms = iters * inner_iter_floor_s * 1e3
-        out["passes"][name] = {
+    total_ops = 0
+    sum_pass_ms = 0.0
+    for name in ("closest_b0", "occluded_b0", "closest_b1", "occluded_b1",
+                 "closest_b2", "occluded_b2"):
+        p = prof[name]
+        ms = passes[f"{name}_ms"]
+        ops = _ops(p, LEAF_OPS_MXU)
+        row = _floors(ops)
+        row.update({
             "measured_ms": ms,
-            "iterations": iters,
-            "measured_per_iter_us": meas_iter_us,
-            "achieved_issue_floor_ms": floor_ms,
-            "issue_utilization": floor_ms / ms,
-            "peak_issue_floor_ms": iters * floor_peak_s * 1e3,
-        }
-        total_iters += iters
-        total_floor_ms += floor_ms
+            "inner_slots": p["inner_slots_total"],
+            "leaf_slots": p["leaf_slots_total"],
+            "iterations": p["inner_iters_total"] + p["leaf_visits_total"],
+            "utilization_vs_serial": row["floor_serial_ms"] / ms,
+            "utilization_vs_ilp": row["floor_ilp_ms"] / ms,
+        })
+        out["passes"][name] = row
+        total_ops += ops
+        sum_pass_ms += ms
 
-    # b3 passes were not profiled; extrapolate their iteration counts by
-    # the measured b1->b2 growth ratio (divergence saturates, see
-    # profile_visits_pop8: growth 1.72x then 1.41x / 1.33x).
-    grow_c = (prof["closest_b2"]["inner_iters_total"]
-              / prof["closest_b1"]["inner_iters_total"])
-    grow_o = (prof["occluded_b2"]["inner_iters_total"]
-              / prof["occluded_b1"]["inner_iters_total"])
-    it_c3 = (prof["closest_b2"]["inner_iters_total"] * grow_c
-             + prof["closest_b2"]["leaf_visits_total"] * grow_c / NLEAF)
-    it_o3 = (prof["occluded_b2"]["inner_iters_total"] * grow_o
-             + prof["occluded_b2"]["leaf_visits_total"] * grow_o / NLEAF)
-    frame_iters = total_iters + it_c3 + it_o3
-    frame_floor_ms = frame_iters * inner_iter_floor_s * 1e3
+    # b3 extrapolation by the b1->b2 growth ratio (divergence saturates).
+    grow_c = (prof["closest_b2"]["inner_slots_total"]
+              / prof["closest_b1"]["inner_slots_total"])
+    grow_o = (prof["occluded_b2"]["inner_slots_total"]
+              / prof["occluded_b1"]["inner_slots_total"])
+    ops_b3 = (_ops(prof["closest_b2"], LEAF_OPS_MXU) * grow_c
+              + _ops(prof["occluded_b2"], LEAF_OPS_MXU) * grow_o)
+    frame_ops = total_ops + ops_b3
+    frame = _floors(frame_ops)
+    frame.update({
+        "measured_fused_ms": frame_ms,
+        "b3_ops_extrapolated": ops_b3,
+        "b3_measured_residual_ms": frame_ms - sum_pass_ms,
+        "utilization_vs_serial": frame["floor_serial_ms"] / frame_ms,
+        "utilization_vs_ilp": frame["floor_ilp_ms"] / frame_ms,
+    })
+    out["frame"] = frame
 
-    sum_pass_ms = sum(PASS_MS.values())
-    measured_b3_ms = FRAME_FUSED_MS - sum_pass_ms  # fused glue ~ free
-
-    out["frame"] = {
-        "measured_fused_ms": FRAME_FUSED_MS,
-        "iterations_total_est": frame_iters,
-        "b3_iterations_extrapolated": it_c3 + it_o3,
-        "b3_measured_residual_ms": measured_b3_ms,
-        "achieved_issue_floor_ms": frame_floor_ms,
-        "issue_utilization": frame_floor_ms / FRAME_FUSED_MS,
-        "peak_issue_floor_ms": frame_iters * floor_peak_s * 1e3,
-        "peak_issue_utilization": frame_iters * floor_peak_s * 1e3
-                                  / FRAME_FUSED_MS,
-    }
-
-    # Primary-ray speed of light (closest_b0): rays/s if the pass ran at
-    # the VPU issue floor with the SAME visit schedule.
+    # Primary-ray speed of light at the same visit schedule.
     b0 = out["passes"]["closest_b0"]
-    out["primary_rays_per_s"] = {
+    out["primary_rays_per_s_car_boxed"] = {
         "measured": N_RAYS / (b0["measured_ms"] * 1e-3),
-        "achieved_issue_sol": N_RAYS / (b0["achieved_issue_floor_ms"] * 1e-3),
-        "peak_issue_sol": N_RAYS / (b0["peak_issue_floor_ms"] * 1e-3),
+        "serial_issue_sol": N_RAYS / (b0["floor_serial_ms"] * 1e-3),
+        "ilp_issue_sol": N_RAYS / (b0["floor_ilp_ms"] * 1e-3),
     }
+
+    # ---- dragon north-star row (VPU leaf: no C-matrix table fits) ----
+    dragon_path = os.path.join(
+        ROOT, "metrics", "profile_visits_pop8_adpt_dragon.json")
+    if os.path.exists(dragon_path):
+        with open(dragon_path) as f:
+            dprof = json.load(f)
+        db0 = dprof["closest_b0"]
+        ops = _ops(db0, LEAF_OPS_VPU)
+        row = _floors(ops)
+        # Measured from the production bench (BENCH_r03: 165.4M rays/s).
+        meas_rays = 165.4e6
+        meas_ms = N_RAYS / meas_rays * 1e3
+        row.update({
+            "measured_ms_from_bench": meas_ms,
+            "measured_rays_per_s": meas_rays,
+            "serial_issue_sol_rays_per_s":
+                N_RAYS / (row["floor_serial_ms"] * 1e-3),
+            "ilp_issue_sol_rays_per_s":
+                N_RAYS / (row["floor_ilp_ms"] * 1e-3),
+            "utilization_vs_serial": row["floor_serial_ms"] / meas_ms,
+            "utilization_vs_ilp": row["floor_ilp_ms"] / meas_ms,
+            "note": "VPU leaf path (the dragon-class C-matrix table "
+                    "would need ~250 MB of VMEM); leaf epilogue "
+                    "dominates: %d leaf slots x %d ops vs %d inner x %d"
+                    % (db0["leaf_slots_total"], LEAF_OPS_VPU,
+                       db0["inner_slots_total"], INNER_OPS_PER_SLOT),
+        })
+        out["dragon_primary"] = row
+
+    # ---- streamed-pass floor (profile_stream.json) ----
+    stream_path = os.path.join(ROOT, "metrics", "profile_stream.json")
+    if os.path.exists(stream_path):
+        with open(stream_path) as f:
+            sprof = json.load(f)
+        out["stream"] = {
+            k: {
+                "stream_ms": v["stream_ms"],
+                "dma_floor_ms": v["dma_floor_ms"],
+                "compute_floor_ms": v["compute_floor_ms"],
+                "overlap_floor_ms": v["overlap_floor_ms"],
+                "stream_vs_floor": v["stream_vs_floor"],
+                "sync_frac_of_fills": v["sync_frac_of_fills"],
+            }
+            for k, v in sprof.items() if k[0].isdigit()
+        }
 
     with open(os.path.join(ROOT, "metrics", "roofline.json"), "w") as f:
         json.dump(out, f, indent=2)
