@@ -2964,6 +2964,16 @@ def occluded_tiles(
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
+    sort=False pushes children UNSORTED (valid for any-hit: the blocked
+    result is push-order-independent). Measured both ways in round 4:
+    it wins on FORWARD shadow rays (-2/-8.5/-3.6% on b0/b1/b2,
+    metrics/bench_occl_nosort.json) but LOSES on the production
+    light-origin reversed-shadow frame (fused 246.0 vs 228.5 ms) —
+    with one shared packet origin, near-first order finds the blocker
+    early and triggers the all-blocked exit sooner, which outweighs the
+    saved sort network. Default stays sorted; the knob remains for
+    forward-shadow workloads (fast_light=False paths).
+
     counters=True also returns an (ntiles, 7) int32 array per packet:
     dual path — (inner_iters, leaf_iters, pad_slots, dead_pops,
     leaf_group_pops, inner_slots, leaf_slots) where *_slots sum the
