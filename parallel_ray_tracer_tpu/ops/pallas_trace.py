@@ -1745,12 +1745,14 @@ def _ring_set(vals, r, new):
     return tuple(jnp.where(r == i, new, v) for i, v in enumerate(vals))
 
 
-def _slot_copies(hbms, rings, sems, R, blk, r):
+def _slot_copies(hbms, rings, sems, R, blk, r, rpb=None):
     """Async-copy descriptors moving block `blk` into slot r.
 
-    hbms/rings pair row streams (tri, attr?) with their (R*BLK, 128)
-    rings. Stream s's slot-r semaphore is sems[s*R + r]."""
-    B = STREAM_BLK
+    hbms/rings pair row streams (tri, attr?) with their (R*rpb, lanes)
+    rings; rpb = HBM rows per block (STREAM_BLK leaf-group rows for the
+    tri/attr streams, STREAM_BLK*4L C-matrix rows for the cmi stream).
+    Stream s's slot-r semaphore is sems[s*R + r]."""
+    B = STREAM_BLK if rpb is None else rpb
     return [
         pltpu.make_async_copy(
             hbm.at[pl.ds(blk * B, B), :],
@@ -1761,17 +1763,18 @@ def _slot_copies(hbms, rings, sems, R, blk, r):
     ]
 
 
-def _slot_start(hbms, rings, sems, R, blk, r):
-    for c in _slot_copies(hbms, rings, sems, R, blk, r):
+def _slot_start(hbms, rings, sems, R, blk, r, rpb=None):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r, rpb):
         c.start()
 
 
-def _slot_wait(hbms, rings, sems, R, blk, r):
-    for c in _slot_copies(hbms, rings, sems, R, blk, r):
+def _slot_wait(hbms, rings, sems, R, blk, r, rpb=None):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r, rpb):
         c.wait()
 
 
-def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
+def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock,
+              rpb=None):
     """Make block `blk` valid in some slot; returns
     (slot, ring_b, ring_w, clock, synced) — synced = 1 iff the block was
     absent from the ring and had to be fetched SYNCHRONOUSLY (start+wait
@@ -1785,7 +1788,7 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
         ring_b, ring_w, clock = args
 
         def do_wait(_):
-            _slot_wait(hbms, rings, sems, R, blk, fr)
+            _slot_wait(hbms, rings, sems, R, blk, fr, rpb)
             return jnp.int32(0)
 
         jax.lax.cond(_ring_sel(ring_w, fr) == 0, do_wait,
@@ -1799,13 +1802,13 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
         bv = _ring_sel(ring_b, v)
 
         def retire(_):
-            _slot_wait(hbms, rings, sems, R, bv, v)
+            _slot_wait(hbms, rings, sems, R, bv, v, rpb)
             return jnp.int32(0)
 
         jax.lax.cond((bv >= 0) & (_ring_sel(ring_w, v) == 0), retire,
                      lambda _: jnp.int32(0), 0)
-        _slot_start(hbms, rings, sems, R, blk, v)
-        _slot_wait(hbms, rings, sems, R, blk, v)
+        _slot_start(hbms, rings, sems, R, blk, v, rpb)
+        _slot_wait(hbms, rings, sems, R, blk, v, rpb)
         return (
             v,
             _ring_set(ring_b, v, blk),
@@ -1818,7 +1821,7 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
 
 
 def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
-                   ring_b, ring_w, clock, protect_slot=None):
+                   ring_b, ring_w, clock, protect_slot=None, rpb=None):
     """Start DMAs for the top pending leaves' blocks into idle slots.
 
     A slot is idle iff ring_w == 1 (waited data or empty); slots holding
@@ -1859,7 +1862,7 @@ def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
 
         def start(args, bi=bi, v=v):
             ring_b, ring_w, clock = args
-            _slot_start(hbms, rings, sems, R, bi, v)
+            _slot_start(hbms, rings, sems, R, bi, v, rpb)
             return (
                 _ring_set(ring_b, v, bi),
                 _ring_set(ring_w, v, jnp.int32(0)),
@@ -1872,12 +1875,12 @@ def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
     return ring_b, ring_w, clock
 
 
-def _ring_drain(hbms, rings, sems, R, ring_b, ring_w):
+def _ring_drain(hbms, rings, sems, R, ring_b, ring_w, rpb=None):
     """Retire every in-flight prefetch so no DMA semaphore stays signaled."""
     for r in range(R):
 
         def retire(_, r=r):
-            _slot_wait(hbms, rings, sems, R, ring_b[r], jnp.int32(r))
+            _slot_wait(hbms, rings, sems, R, ring_b[r], jnp.int32(r), rpb)
             return jnp.int32(0)
 
         jax.lax.cond((ring_w[r] == 0) & (ring_b[r] >= 0), retire,
@@ -2196,6 +2199,7 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
             )
 
     return kernel
+
 
 
 ATTR_STRIDE = 9  # kd(3), ks(3), kr(3) per triangle in an attr row
