@@ -258,9 +258,13 @@ def trace_rays_diff(
 ) -> Vec3:
     """Differentiable bounce loop: trace_rays with the custom-VJP closest hit
     and the chosen visibility model. closest_fn / occluded_fn may be
-    per-bounce sequences (see shade.trace_rays); reverse_shadows threads
-    the production light-origin shadow schedule through (occlusion of a
-    segment is symmetric, so gradients are unaffected)."""
+    per-bounce sequences (see shade.trace_rays). reverse_shadows threads
+    the production light-origin shadow schedule through the HARD
+    visibility model only (binary occlusion of a segment is symmetric,
+    so values and gradients are unaffected); the SOFT model's depth
+    factor sigmoid(beta*(1 - t/dist)) is NOT symmetric under reversal
+    (it fades blockers near the segment's far end), so soft_shadows
+    ignores reverse_shadows and always traces hit -> light."""
     cfs = (list(closest_fn) if isinstance(closest_fn, (list, tuple))
            else [closest_fn])
     ofs = (list(occluded_fn) if isinstance(occluded_fn, (list, tuple))
@@ -268,6 +272,7 @@ def trace_rays_diff(
     diff_closest = [make_diff_closest(ds, c) for c in cfs]
     if soft_shadows:
         occ = [make_soft_occluded(ds, c, beta=beta) for c in cfs]
+        reverse_shadows = False
     else:
         occ = [make_hard_occluded_diff(f) for f in ofs]
     return trace_rays(ds, diff_closest, occ, o, d, bounces,

@@ -1411,22 +1411,24 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 g = -lstack[lsp] - 1
                 t, idx, nd, av = leaf(g, t, idx, nd, av)
             if counters:
+                # NOTE: named leaf_w, not lw — `lw` is the adaptive
+                # width-visit factory above in this same scope.
                 if mxu is None:
                     pops = jnp.int32(1)
-                    lw = jnp.int32(1)
+                    leaf_w = jnp.int32(1)
                 elif adaptive:
                     b = default_nleaf(npop, L)
                     pops = jnp.minimum(lsp0, 4 * b)
-                    lw = jnp.where(
+                    leaf_w = jnp.where(
                         lsp0 > 2 * b, jnp.int32(4 * b),
                         jnp.where(lsp0 > b, jnp.int32(2 * b),
                                   jnp.int32(b)),
                     )
                 else:
                     pops = jnp.minimum(lsp0, nleaf)
-                    lw = jnp.int32(nleaf)
+                    leaf_w = jnp.int32(nleaf)
                 cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
-                       cnt[4] + pops, cnt[5], cnt[6] + lw)
+                       cnt[4] + pops, cnt[5], cnt[6] + leaf_w)
             return (isp, lsp, t, idx, nd, av) + cnt
 
         def do_inner(args):
@@ -1539,22 +1541,24 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                     blocked = jnp.maximum(blocked, hit.astype(jnp.int32))
             all_blocked = jnp.min(blocked)
             if counters:
+                # NOTE: named leaf_w, not lw — `lw` is the adaptive
+                # width-visit factory above in this same scope.
                 if mxu is None:
                     pops = jnp.int32(1)
-                    lw = jnp.int32(1)
+                    leaf_w = jnp.int32(1)
                 elif adaptive:
                     b = default_nleaf(npop, L)
                     pops = jnp.minimum(lsp0, 4 * b)
-                    lw = jnp.where(
+                    leaf_w = jnp.where(
                         lsp0 > 2 * b, jnp.int32(4 * b),
                         jnp.where(lsp0 > b, jnp.int32(2 * b),
                                   jnp.int32(b)),
                     )
                 else:
                     pops = jnp.minimum(lsp0, nleaf)
-                    lw = jnp.int32(nleaf)
+                    leaf_w = jnp.int32(nleaf)
                 cnt = (cnt[0], cnt[1] + 1, cnt[2], cnt[3],
-                       cnt[4] + pops, cnt[5], cnt[6] + lw)
+                       cnt[4] + pops, cnt[5], cnt[6] + leaf_w)
             return (isp, lsp, blocked, all_blocked) + cnt
 
         def do_inner(args):
@@ -1745,14 +1749,12 @@ def _ring_set(vals, r, new):
     return tuple(jnp.where(r == i, new, v) for i, v in enumerate(vals))
 
 
-def _slot_copies(hbms, rings, sems, R, blk, r, rpb=None):
+def _slot_copies(hbms, rings, sems, R, blk, r):
     """Async-copy descriptors moving block `blk` into slot r.
 
-    hbms/rings pair row streams (tri, attr?) with their (R*rpb, lanes)
-    rings; rpb = HBM rows per block (STREAM_BLK leaf-group rows for the
-    tri/attr streams, STREAM_BLK*4L C-matrix rows for the cmi stream).
-    Stream s's slot-r semaphore is sems[s*R + r]."""
-    B = STREAM_BLK if rpb is None else rpb
+    hbms/rings pair row streams (tri, attr?) with their (R*BLK, 128)
+    rings. Stream s's slot-r semaphore is sems[s*R + r]."""
+    B = STREAM_BLK
     return [
         pltpu.make_async_copy(
             hbm.at[pl.ds(blk * B, B), :],
@@ -1763,18 +1765,17 @@ def _slot_copies(hbms, rings, sems, R, blk, r, rpb=None):
     ]
 
 
-def _slot_start(hbms, rings, sems, R, blk, r, rpb=None):
-    for c in _slot_copies(hbms, rings, sems, R, blk, r, rpb):
+def _slot_start(hbms, rings, sems, R, blk, r):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r):
         c.start()
 
 
-def _slot_wait(hbms, rings, sems, R, blk, r, rpb=None):
-    for c in _slot_copies(hbms, rings, sems, R, blk, r, rpb):
+def _slot_wait(hbms, rings, sems, R, blk, r):
+    for c in _slot_copies(hbms, rings, sems, R, blk, r):
         c.wait()
 
 
-def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock,
-              rpb=None):
+def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock):
     """Make block `blk` valid in some slot; returns
     (slot, ring_b, ring_w, clock, synced) — synced = 1 iff the block was
     absent from the ring and had to be fetched SYNCHRONOUSLY (start+wait
@@ -1788,7 +1789,7 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock,
         ring_b, ring_w, clock = args
 
         def do_wait(_):
-            _slot_wait(hbms, rings, sems, R, blk, fr, rpb)
+            _slot_wait(hbms, rings, sems, R, blk, fr)
             return jnp.int32(0)
 
         jax.lax.cond(_ring_sel(ring_w, fr) == 0, do_wait,
@@ -1802,13 +1803,13 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock,
         bv = _ring_sel(ring_b, v)
 
         def retire(_):
-            _slot_wait(hbms, rings, sems, R, bv, v, rpb)
+            _slot_wait(hbms, rings, sems, R, bv, v)
             return jnp.int32(0)
 
         jax.lax.cond((bv >= 0) & (_ring_sel(ring_w, v) == 0), retire,
                      lambda _: jnp.int32(0), 0)
-        _slot_start(hbms, rings, sems, R, blk, v, rpb)
-        _slot_wait(hbms, rings, sems, R, blk, v, rpb)
+        _slot_start(hbms, rings, sems, R, blk, v)
+        _slot_wait(hbms, rings, sems, R, blk, v)
         return (
             v,
             _ring_set(ring_b, v, blk),
@@ -1821,7 +1822,7 @@ def _ring_use(hbms, rings, sems, R, blk, ring_b, ring_w, clock,
 
 
 def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
-                   ring_b, ring_w, clock, protect_slot=None, rpb=None):
+                   ring_b, ring_w, clock, protect_slot=None):
     """Start DMAs for the top pending leaves' blocks into idle slots.
 
     A slot is idle iff ring_w == 1 (waited data or empty); slots holding
@@ -1862,7 +1863,7 @@ def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
 
         def start(args, bi=bi, v=v):
             ring_b, ring_w, clock = args
-            _slot_start(hbms, rings, sems, R, bi, v, rpb)
+            _slot_start(hbms, rings, sems, R, bi, v)
             return (
                 _ring_set(ring_b, v, bi),
                 _ring_set(ring_w, v, jnp.int32(0)),
@@ -1875,12 +1876,12 @@ def _ring_prefetch(hbms, rings, sems, R, lstack, lsp, kpre,
     return ring_b, ring_w, clock
 
 
-def _ring_drain(hbms, rings, sems, R, ring_b, ring_w, rpb=None):
+def _ring_drain(hbms, rings, sems, R, ring_b, ring_w):
     """Retire every in-flight prefetch so no DMA semaphore stays signaled."""
     for r in range(R):
 
         def retire(_, r=r):
-            _slot_wait(hbms, rings, sems, R, ring_b[r], jnp.int32(r), rpb)
+            _slot_wait(hbms, rings, sems, R, ring_b[r], jnp.int32(r))
             return jnp.int32(0)
 
         jax.lax.cond((ring_w[r] == 0) & (ring_b[r] >= 0), retire,
@@ -1979,28 +1980,27 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                 # 300k streamed pass — third/fourth same-block hits are
                 # too rare to pay for two more compare+branch per leaf
                 # iteration.
-                for _ in range(1):
-                    g2 = jnp.where(
-                        lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
-                        jnp.int32(-1),
-                    )
+                g2 = jnp.where(
+                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                    jnp.int32(-1),
+                )
 
-                    def more(a, g2=g2):
-                        lsp, t, idx, nd, av = a[:5]
-                        c2 = a[5:]
-                        t, idx, nd, av = leaf_update(
-                            slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
-                        )
-                        if counters:
-                            c2 = (c2[0], c2[1] + 1, c2[2])
-                        return (lsp - 1, t, idx, nd, av) + c2
-
-                    res2 = jax.lax.cond(
-                        (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                        more, lambda a: a, (lsp, t, idx, nd, av) + cnt,
+                def second(a):
+                    lsp, t, idx, nd, av = a[:5]
+                    c2 = a[5:]
+                    t, idx, nd, av = leaf_update(
+                        slot, g2, g2 - blk * STREAM_BLK, t, idx, nd, av
                     )
-                    lsp, t, idx, nd, av = res2[:5]
-                    cnt = res2[5:]
+                    if counters:
+                        c2 = (c2[0], c2[1] + 1, c2[2])
+                    return (lsp - 1, t, idx, nd, av) + c2
+
+                res2 = jax.lax.cond(
+                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                    second, lambda a: a, (lsp, t, idx, nd, av) + cnt,
+                )
+                lsp, t, idx, nd, av = res2[:5]
+                cnt = res2[5:]
                 return (isp, lsp, clock, ring_b, ring_w, t, idx, nd,
                         av) + cnt
 
@@ -2119,28 +2119,27 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                 blocked = leaf_eval(slot, g - blk * STREAM_BLK, blocked)
                 # Same-block second pop (depth 2 measured best; see the
                 # closest kernel).
-                for _ in range(1):
-                    g2 = jnp.where(
-                        lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
-                        jnp.int32(-1),
-                    )
+                g2 = jnp.where(
+                    lsp > 0, -lstack[jnp.maximum(lsp - 1, 0)] - 1,
+                    jnp.int32(-1),
+                )
 
-                    def more(a, g2=g2):
-                        lsp, blocked = a[:2]
-                        c2 = a[2:]
-                        blocked = leaf_eval(
-                            slot, g2 - blk * STREAM_BLK, blocked
-                        )
-                        if counters:
-                            c2 = (c2[0], c2[1] + 1, c2[2])
-                        return (lsp - 1, blocked) + c2
-
-                    res2 = jax.lax.cond(
-                        (g2 >= 0) & (g2 // STREAM_BLK == blk),
-                        more, lambda a: a, (lsp, blocked) + cnt,
+                def second(a):
+                    lsp, blocked = a[:2]
+                    c2 = a[2:]
+                    blocked = leaf_eval(
+                        slot, g2 - blk * STREAM_BLK, blocked
                     )
-                    lsp, blocked = res2[:2]
-                    cnt = res2[2:]
+                    if counters:
+                        c2 = (c2[0], c2[1] + 1, c2[2])
+                    return (lsp - 1, blocked) + c2
+
+                res2 = jax.lax.cond(
+                    (g2 >= 0) & (g2 // STREAM_BLK == blk),
+                    second, lambda a: a, (lsp, blocked) + cnt,
+                )
+                lsp, blocked = res2[:2]
+                cnt = res2[2:]
                 all_blocked = jnp.min(blocked)
                 return (isp, lsp, clock, ring_b, ring_w, blocked,
                         all_blocked) + cnt

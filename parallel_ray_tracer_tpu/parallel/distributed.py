@@ -69,7 +69,9 @@ def initialize(
         # site and swallowing it silently degrades a pod run to
         # process_count() == 1 (exactly what hid the ordering bug in
         # tests/helpers/mp_render_worker.py).
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
 
 

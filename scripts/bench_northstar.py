@@ -46,7 +46,7 @@ CONFIGS = [
 ]
 
 
-def marginal_ms(fn, k_lo=1, k_hi=3, reps=3):
+def marginal_ms(fn, k_lo=2, k_hi=10, reps=3):
     def timed(k):
         float(fn(k))
         best = float("inf")
@@ -86,6 +86,7 @@ def bench_config(scene: str, W: int, H: int, bounces: int) -> dict:
                 leaf_size=leaf, stack_depth=sdepth,
                 cmat=packed[4] if len(packed) >= 5 else None,
                 npop=pipe.npop, npop0=pipe.npop0,
+                adaptive=pipe.adaptive,
             )
             return eps + jnp.sum(col.x) * 1e-18
 

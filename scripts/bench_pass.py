@@ -240,6 +240,7 @@ def main():
                     leaf_size=leaf, stack_depth=sdepth, dual=dual,
                     compressed=comp, cmat=cmat, npop=args.pop,
                     nleaf=args.nleaf, adaptive=args.adaptive,
+                    sort=not args.no_sort,
                 )
                 return px + blocked.astype(jnp.float32) * 1e-12
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
@@ -258,6 +259,7 @@ def main():
         + (f"_T{args.leaf_threshold}" if args.leaf_threshold != 8 else "")
         + (f"_pop{args.pop}" if args.pop != 2 else "")
         + (f"_nl{args.nleaf}" if args.nleaf else "")
+        + ("_nosort" if args.no_sort else "")
         + ("_adpt" if args.adaptive else "")
         + ("_rev" if args.reverse else "")
         + (f"_{args.scene}" if args.scene != "car_boxed" else "")

@@ -188,41 +188,9 @@ def test_fused_spheres_matches_pass_based():
     the pass-based pallas path with the ops/spheres wrapper."""
     from parallel_ray_tracer_tpu.config import RenderConfig
     from parallel_ray_tracer_tpu import pipeline
-    from parallel_ray_tracer_tpu.models.scene import Scene
+    from conftest import blocker_cloud_scene
 
-    # Same construction as tests/test_fused.py's module scene: floor quad
-    # in the z=0 plane + blockers above it, framed by the default camera.
-    rng = np.random.RandomState(7)
-    verts = [[-6, -6, 0], [6, -6, 0], [6, 6, 0], [-6, 6, 0]]
-    faces = [[0, 1, 2], [0, 2, 3]]
-    mat_idx = [0, 0]
-    for k in range(30):
-        c = rng.uniform(-3, 3, 3).astype(np.float32)
-        c[2] = rng.uniform(0.5, 3.0)
-        base = len(verts)
-        for off in rng.normal(0, 0.35, (3, 3)):
-            verts.append((c + off).tolist())
-        faces.append([base, base + 1, base + 2])
-        mat_idx.append(1 + (k % 2))
-    sc = Scene(
-        verts=np.asarray(verts, np.float32),
-        faces=np.asarray(faces, np.int32),
-        mat_idx=np.asarray(mat_idx, np.int32),
-        mats_kd=np.asarray(
-            [[0.6, 0.6, 0.6], [0.8, 0.2, 0.2], [0.2, 0.3, 0.8]], np.float32),
-        mats_ks=np.asarray(
-            [[0.1, 0.1, 0.1], [0.3, 0.3, 0.3], [0.0, 0.0, 0.0]], np.float32),
-        mats_kr=np.asarray(
-            [[0.3, 0.3, 0.3], [0.0, 0.0, 0.0], [0.5, 0.5, 0.5]], np.float32),
-        lights_pos=np.asarray([[4, 2, 6], [-5, -3, 4]], np.float32),
-        lights_kl=np.asarray([[30, 28, 25], [10, 12, 16]], np.float32),
-        spheres_center=np.asarray(
-            [[0.0, 0.0, 1.0], [2.0, 1.5, 0.8], [-2.5, -1.0, 1.4]],
-            np.float32,
-        ),
-        spheres_radius=np.asarray([0.8, 0.6, 1.0], np.float32),
-        spheres_mat=np.asarray([1, 2, 0], np.int32),
-    )
+    sc = blocker_cloud_scene(with_spheres=True)
     cfg = RenderConfig(width=64, height=64, bounces=3, bvh_heuristic=6,
                        tile_rows=32, tile_cols=32, use_native=False)
     pipe = pipeline.prepare(cfg, scene=sc)
