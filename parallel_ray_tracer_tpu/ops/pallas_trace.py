@@ -1265,15 +1265,59 @@ def default_nleaf(npop: int, L: int) -> int:
     return max(2, 64 // (4 * L))
 
 
+def pack_cmi4(cmat: np.ndarray, L: int = 8):
+    """Lane-pack an interleaved leaf C-matrix table FOUR groups per
+    128-lane row: group 4b+j's [hi(16) | lo(16)] occupies lanes
+    [32j, 32j+32) of block b's 4L rows. Cuts the table's VMEM cost 4x
+    (2 KB/group instead of 8 KB — rows always lane-pad to the 128
+    tile), which is what admits dragon-class scenes (~30k groups) to
+    the MXU leaf path at all. Consumed by _mxu_leaf_quants_n, which
+    detects the layout by the static lane width. Input: the host
+    (rows, 16) f32 C-matrix table (PackedBVH.cmat); output: a
+    (ceil(groups/4)*4L, 128) bf16 array ready for upload."""
+    import ml_dtypes
+
+    GR = 4 * L
+    cmat = np.ascontiguousarray(cmat, np.float32)
+    rows = cmat.shape[0]
+    assert rows % GR == 0, (rows, GR)
+    G = rows // GR
+    Gp = -(-G // 4) * 4
+    hi = cmat.astype(ml_dtypes.bfloat16)
+    lo = (cmat - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+    def blocks(a):
+        # (G, GR, 16) -> pad groups -> (Gp/4, GR, 4, 16)
+        a = a.reshape(G, GR, 16)
+        if Gp != G:
+            a = np.concatenate(
+                [a, np.zeros((Gp - G, GR, 16), a.dtype)], axis=0
+            )
+        return a.reshape(Gp // 4, 4, GR, 16).transpose(0, 2, 1, 3)
+
+    bh, bl = blocks(hi), blocks(lo)
+    out = np.zeros((Gp // 4, GR, 4, 32), hi.dtype)
+    out[:, :, :, 0:16] = bh
+    out[:, :, :, 16:32] = bl
+    return out.reshape(Gp // 4 * GR, 128)
+
+
 def _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L: int = 8):
     """(4L*len(gs), 1024) MT quantities of several leaf groups via ONE
-    triple-dot (M = 4L*n <= 128 rides a single MXU pass)."""
+    triple-dot (M = 4L*n <= 128 rides a single MXU pass).
+
+    Two cmi layouts, selected by the STATIC lane width:
+      - (rows, 32): one group per 4L-row block, [hi(16) | lo(16)] lanes
+        (the original interleave — 96 of 128 padded lanes wasted, 8 KB
+        of VMEM per group).
+      - (rows, 128): FOUR groups per 4L-row block, group j at lanes
+        [32j, 32j+32) (pack_cmi4) — 2 KB of VMEM per group, which is
+        what lets dragon-class scenes (~30k groups) keep MXU leaves
+        resident at all. The per-group lane offset depends on g % 4, a
+        traced value, so each group's [hi|lo] columns are picked by a
+        4-way lax.switch over STATIC lane slices (~10-20 ns per the
+        branch microbench) before the shared triple-dot."""
     GR = 4 * L
-    crow = jnp.concatenate(
-        [cmi[pl.ds(g * GR, GR), :] for g in gs], axis=0
-    )
-    Ch = crow[:, 0:16]
-    Cl = crow[:, 16:32]
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -1281,6 +1325,30 @@ def _mxu_leaf_quants_n(cmi, Rh, Rl, gs, L: int = 8):
             preferred_element_type=jnp.float32,
         )
 
+    if cmi.shape[1] == 32:
+        crow = jnp.concatenate(
+            [cmi[pl.ds(g * GR, GR), :] for g in gs], axis=0
+        )
+        Ch = crow[:, 0:16]
+        Cl = crow[:, 16:32]
+        return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
+
+    chs, cls = [], []
+    for g in gs:
+        crow = cmi[pl.ds((g // 4) * GR, GR), :]
+        j = g % 4
+        ch = jax.lax.switch(
+            j, [lambda c=crow, J=J: c[:, 32 * J : 32 * J + 16]
+                for J in range(4)]
+        )
+        cl = jax.lax.switch(
+            j, [lambda c=crow, J=J: c[:, 32 * J + 16 : 32 * J + 32]
+                for J in range(4)]
+        )
+        chs.append(ch)
+        cls.append(cl)
+    Ch = jnp.concatenate(chs, axis=0)
+    Cl = jnp.concatenate(cls, axis=0)
     return dot(Ch, Rh) + dot(Ch, Rl) + dot(Cl, Rh)
 
 

@@ -30,6 +30,11 @@ from .ops.bvh_flat import FlatBVH, flatten_bvh
 # VMEM and the padded C-matrix table (rows x 128 lanes x 2 B) dominates;
 # leave headroom for ray windows, stacks, and the fused kernel's state.
 _MXU_VMEM_BUDGET = 88 * 1024 * 1024
+# Ceiling for the 4-group lane-packed C-matrix layout (pack_cmi4): the
+# whole resident block (scene rows + packed table) must stay under the
+# hardware-measured ~126 MB compile ceiling with margin for rays,
+# outputs and stacks.
+_MXU_VMEM_BUDGET4 = 112 * 1024 * 1024
 
 
 @dataclasses.dataclass
@@ -406,6 +411,7 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
             and not stream
             and packed.cmat is not None
         )
+        cmi4 = False
         if mxu_ok:
             cmat_vmem = packed.cmat.shape[0] * 128 * 2
             scene_vmem = (
@@ -413,14 +419,31 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
                 + packed.tri.nbytes + attr.nbytes
             )
             if cmat_vmem + scene_vmem > _MXU_VMEM_BUDGET:
+                # pack_cmi4 (4 groups per 128-lane row, 2 KB/group)
+                # DOES fit dragon-class tables resident (~61 MB packed +
+                # ~47 MB scene < the measured ~126 MB ceiling) and runs
+                # correct on hardware — but measured NEUTRAL-to-worse
+                # vs the VPU leaf on dragon (12.7-13.3 vs 12.3-12.6 ms
+                # primaries): the VPU leaf retires at ~240 ns/visit
+                # (cross-triangle ILP), not the 400-op serial model, so
+                # the MXU epilogue + per-group lane switches save
+                # nothing. Auto-selection stays off (set cmi4 = True
+                # here to re-enable); docs/DESIGN.md 9b.
                 mxu_ok = False
         if mxu_ok:
-            cm = jnp.asarray(packed.cmat)
-            cmh = cm.astype(jnp.bfloat16)
-            cml = (cm - cmh.astype(jnp.float32)).astype(jnp.bfloat16)
-            packed_dev = packed_dev + (
-                jnp.concatenate([cmh, cml], axis=1),
-            )
+            if cmi4:
+                packed_dev = packed_dev + (
+                    jnp.asarray(
+                        pallas_trace.pack_cmi4(packed.cmat, leaf_size)
+                    ),
+                )
+            else:
+                cm = jnp.asarray(packed.cmat)
+                cmh = cm.astype(jnp.bfloat16)
+                cml = (cm - cmh.astype(jnp.float32)).astype(jnp.bfloat16)
+                packed_dev = packed_dev + (
+                    jnp.concatenate([cmh, cml], axis=1),
+                )
 
     return Pipeline(
         cfg=cfg,

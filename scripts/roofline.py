@@ -161,9 +161,15 @@ def main() -> None:
             "utilization_vs_serial": row["floor_serial_ms"] / meas_ms,
             "utilization_vs_ilp": row["floor_ilp_ms"] / meas_ms,
             "note": "VPU leaf path (the dragon-class C-matrix table "
-                    "would need ~250 MB of VMEM); leaf epilogue "
-                    "dominates: %d leaf slots x %d ops vs %d inner x %d"
-                    % (db0["leaf_slots_total"], LEAF_OPS_VPU,
+                    "would need ~250 MB; the 4-group lane packing that "
+                    "DOES fit measured neutral, DESIGN 9b). Leaf model "
+                    "caveat: the VPU leaf retires at ~240 ns/visit on "
+                    "this scene (cross-triangle ILP ~1.7 ops/cycle), "
+                    "so charging %d ops at the serial rate OVERSTATES "
+                    "the floor — utilization >100%% means the kernel "
+                    "beats the serial-rate assumption, not the "
+                    "hardware. %d leaf slots vs %d inner x %d"
+                    % (LEAF_OPS_VPU, db0["leaf_slots_total"],
                        db0["inner_slots_total"], INNER_OPS_PER_SLOT),
         })
         out["dragon_primary"] = row

@@ -535,3 +535,39 @@ def test_adaptive_fused_frame_matches_fixed():
     d = np.abs(img_f - img_a)
     assert d.max() <= 1.5e-7, d.max()
     assert (d > 0).mean() < 0.02
+
+
+class TestPackedLaneCmi:
+    """pack_cmi4: four groups' C-matrices per 128-lane row (2 KB/group
+    instead of 8 — the layout that fits dragon-class tables resident).
+    The kernels select the layout by STATIC lane width; results must be
+    bit-identical to the standard (rows, 32) interleave. Auto-selection
+    is off (measured neutral on dragon, DESIGN 9b) but the format is a
+    supported input."""
+
+    def test_bit_identical_to_standard_interleave(self, packed_scene, rays):
+        flat, tv = packed_scene
+        packed = pallas_trace.pack_bvh4(flat, tv)
+        cm = jnp.asarray(packed.cmat)
+        cmh = cm.astype(jnp.bfloat16)
+        cml = (cm - cmh.astype(jnp.float32)).astype(jnp.bfloat16)
+        cmi = jnp.concatenate([cmh, cml], axis=1)
+        cmi4 = jnp.asarray(pallas_trace.pack_cmi4(packed.cmat, 8))
+        assert cmi4.shape[1] == 128
+        sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=8)
+        pd = (jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+              jnp.asarray(packed.tri))
+        o, d = rays
+        o2 = Vec3(*(p.reshape(8, 128) for p in o))
+        d2 = Vec3(*(p.reshape(8, 128) for p in d))
+        kw = dict(leaf_size=8, stack_depth=sd, dual=True, npop=8,
+                  adaptive=True, interpret=True)
+        h_s = pallas_trace.closest_tiles(*pd, o2, d2, cmat=cmi, **kw)
+        h_p = pallas_trace.closest_tiles(*pd, o2, d2, cmat=cmi4, **kw)
+        np.testing.assert_array_equal(np.asarray(h_s.t), np.asarray(h_p.t))
+        np.testing.assert_array_equal(np.asarray(h_s.idx),
+                                      np.asarray(h_p.idx))
+        m2 = jnp.full((8, 128), 25.0)
+        b_s = pallas_trace.occluded_tiles(*pd, o2, d2, m2, cmat=cmi, **kw)
+        b_p = pallas_trace.occluded_tiles(*pd, o2, d2, m2, cmat=cmi4, **kw)
+        np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_p))
