@@ -571,3 +571,25 @@ class TestPackedLaneCmi:
         b_s = pallas_trace.occluded_tiles(*pd, o2, d2, m2, cmat=cmi, **kw)
         b_p = pallas_trace.occluded_tiles(*pd, o2, d2, m2, cmat=cmi4, **kw)
         np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_p))
+
+
+def test_occluded_unsorted_pushes_identical(packed_scene, rays):
+    """occluded_tiles(sort=False): any-hit results are push-order-
+    independent, so skipping the per-node sort network must not change
+    a single blocked bit (the knob exists for forward-shadow workloads;
+    measured numbers in metrics/bench_occl_nosort.json / DESIGN 9b)."""
+    flat, tv = packed_scene
+    packed = pallas_trace.pack_bvh4(flat, tv)
+    sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=8)
+    pd = (jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+          jnp.asarray(packed.tri))
+    o, d = rays
+    o2 = Vec3(*(p.reshape(8, 128) for p in o))
+    d2 = Vec3(*(p.reshape(8, 128) for p in d))
+    m2 = jnp.full((8, 128), 25.0)
+    kw = dict(leaf_size=8, stack_depth=sd, dual=True, npop=8,
+              adaptive=True, interpret=True)
+    b_sorted = pallas_trace.occluded_tiles(*pd, o2, d2, m2, sort=True, **kw)
+    b_nosort = pallas_trace.occluded_tiles(*pd, o2, d2, m2, sort=False, **kw)
+    np.testing.assert_array_equal(np.asarray(b_sorted),
+                                  np.asarray(b_nosort))
