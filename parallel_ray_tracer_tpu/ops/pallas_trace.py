@@ -1800,7 +1800,12 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
 # Invariant: every started DMA is waited exactly once — at use, at
 # eviction, or at the final drain.
 
-STREAM_RING = 4      # VMEM ring slots per stream
+STREAM_RING = 2      # VMEM ring slots per stream (round-4 sweep: R=2
+                     # beats R=4 — 212.8 vs 220.4 ms at 300k, 490.8 vs
+                     # 507.5 at 1M — because _ring_use/_ring_prefetch
+                     # scan every slot per iteration and the scan IS the
+                     # streaming tax; R=3 219.0, R=8 was 343 in round 3;
+                     # metrics/bench_stream_ring_r4.json, *_1m_r4.json)
 STREAM_KPRE = 2      # pending leaves prefetched per iteration
 STREAM_BLK = 4       # consecutive leaf groups per DMA block
 
