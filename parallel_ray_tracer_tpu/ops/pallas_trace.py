@@ -87,6 +87,14 @@ def required_stack_depth(tree_depth: int, arity: int, npop: int = 2) -> int:
 # the v5e's physical VMEM, so raise it to admit dragon-class scenes
 # (~200k triangles ~= 30 MB resident; measured capacity > 61 MB).
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# Measured ceiling for RESIDENT packed scene rows (pipeline's auto-stream
+# threshold): a 450k-triangle scene (126 MB of rows) compiles and traces
+# resident on the v5e, 600k (169 MB) does not (round 4). This sits ABOVE
+# VMEM_LIMIT_BYTES because Mosaic treats vmem_limit_bytes as advisory for
+# whole-kernel operands; the two constants live together here so a bump of
+# either is made consciously against the other (ADVICE r4).
+RESIDENT_ROWS_CEILING_BYTES = 126 * 1024 * 1024
+assert RESIDENT_ROWS_CEILING_BYTES >= VMEM_LIMIT_BYTES
 
 
 @dataclasses.dataclass
@@ -3068,6 +3076,12 @@ def occluded_tiles(
     assert npop in (2, 4, 8) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
+    # sort=False is only threaded through the wide-pop dual kernels; the
+    # streamed kernel and the npop=2 _dual_inner_visit always sort. Fail
+    # loudly rather than silently measuring the sorted schedule
+    # (ADVICE r4: a sort=False caller on those paths got sorted timings).
+    assert sort or (dual and arity >= 4 and npop > 2 and not stream), \
+        "sort=False requires the wide-pop dual kernels (npop > 2, not stream)"
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
     if counters:
         out_shape.append(jax.ShapeDtypeStruct((rows, LANES), jnp.int32))

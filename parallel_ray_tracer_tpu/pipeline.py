@@ -363,7 +363,8 @@ def prepare(cfg: RenderConfig, scene: Optional[Scene] = None) -> Pipeline:
         )
         resident = 512 * n_rows
         stream = cfg.stream == "on" or (
-            cfg.stream == "auto" and resident > 126 * 1024 * 1024
+            cfg.stream == "auto"
+            and resident > pallas_trace.RESIDENT_ROWS_CEILING_BYTES
         )
 
     pallas_stack_depth = 96

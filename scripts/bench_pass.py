@@ -151,6 +151,9 @@ def main():
                     help="leaf groups per MXU leaf visit (0 = auto)")
     ap.add_argument("--adaptive", action="store_true",
                     help="width-switched inner/leaf pops (production)")
+    ap.add_argument("--no-sort", action="store_true",
+                    help="skip the any-hit child sort network "
+                         "(occluded passes only; order-independent result)")
     ap.add_argument("--reverse", action="store_true",
                     help="light-origin shadow segments (occluded passes)")
     ap.add_argument("--scene", default="car_boxed")
