@@ -2431,7 +2431,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         reverse_shadows: bool = True,
                         npops: "tuple | None" = None,
                         adaptive: bool = False,
-                        num_spheres: int = 0):
+                        num_spheres: int = 0,
+                        counters: bool = False):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
@@ -2441,7 +2442,15 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     remaining bounces); the whole loop is then unrolled. reverse_shadows
     traces shadow segments from the light (one shared packet origin —
     see ops/shade.shade_hit's docstring for the exact window mapping and
-    the measured win)."""
+    the measured win).
+
+    counters=True (instrumentation) fully unrolls the bounce loop and
+    emits one extra (8, 128) int32 output per packet holding the
+    per-bounce executed-slot counters of the PRODUCTION fused path:
+    row k (the 7-tuple of _run_closest_dual), lane 2b = bounce b's
+    closest run, lane 2b+1 = bounce b's occluded runs summed over
+    lights — so the roofline prices the fused frame from counted slots
+    instead of the bounce-3 extrapolation (round-4 verdict item)."""
     EPS2 = float(EPSILON) * float(EPSILON)
 
     def kernel(ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr, lamb,
@@ -2450,14 +2459,19 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
         if num_spheres:
             sph = rest[k]
             k += 1
+        nc = 1 if counters else 0
         if mxu:
             cmi = rest[k]
             k += 1
-            (r_out, g_out, b_out, istack, lstack, rsc) = rest[k:]
+            outs = rest[k:k + 3 + nc]
+            (istack, lstack, rsc) = rest[k + 3 + nc:]
             _rmat_init_const(rsc)
         else:
             cmi = None
-            (r_out, g_out, b_out, istack, lstack) = rest[k:]
+            outs = rest[k:k + 3 + nc]
+            (istack, lstack) = rest[k + 3 + nc:]
+        r_out, g_out, b_out = outs[:3]
+        c_out = outs[3] if counters else None
         shape = (SUBLANES, LANES)
         fone = jnp.ones(shape, jnp.float32)
         fzero = jnp.zeros(shape, jnp.float32)
@@ -2557,11 +2571,14 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             oi = Vec3(o.x * inv.x, o.y * inv.y, o.z * inv.z)
 
             mxu_c = (*_rmat_load(rsc, o, d), cmi) if mxu else None
-            t, _, nd, av = _run_closest_dual(
+            res_c = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
-                adaptive=adaptive,
+                adaptive=adaptive, counters=counters,
             )
+            t, _, nd, av = res_c[:4]
+            ccnt = res_c[4] if counters else None
+            ocnt = (jnp.int32(0),) * 7 if counters else None
             if num_spheres:
                 t, nd, av = sphere_closest_merge(sph, o, d, t, nd, av)
             is_hit = t < jnp.float32(T_MAX)
@@ -2632,12 +2649,17 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                             jnp.clip(1.0 / sd.z, -lim, lim))
                 soi = Vec3(so.x * sinv.x, so.y * sinv.y, so.z * sinv.z)
                 mxu_o = (*_rmat_load(rsc, so, sd), cmi) if mxu else None
-                blocked = _run_occluded_dual(
+                res_o = _run_occluded_dual(
                     qbox, qmeta, tri, so, sd, sinv, soi, sm2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
                     npop=npop, nleaf=nleaf,
-                    adaptive=adaptive,
+                    adaptive=adaptive, counters=counters,
                 )
+                if counters:
+                    blocked, oc = res_o
+                    ocnt = tuple(a + b for a, b in zip(ocnt, oc))
+                else:
+                    blocked = res_o
                 if num_spheres:
                     blocked = sphere_occluded_merge(sph, so, sd, sm2, blocked)
                 vis = (
@@ -2662,22 +2684,57 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             adn = 2.0 * jnp.abs(pdx * nx + pdy * ny + pdz * nz)
             rx, ry, rz = pdx + nx * adn, pdy + ny * adn, pdz + nz * adn
             ir = rsq(rx * rx + ry * ry + rz * rz)
-            return (px, py, pz, rx * ir, ry * ir, rz * ir,
-                    mx, my, mz, fx, fy, fz, live.astype(jnp.int32))
+            st_out = (px, py, pz, rx * ir, ry * ir, rz * ir,
+                      mx, my, mz, fx, fy, fz, live.astype(jnp.int32))
+            if counters:
+                return st_out, ccnt, ocnt
+            return st_out
           return bounce
 
-        bounce = make_bounce(npop, nleaf)
-        if npops:
-            st = state0
-            for b in range(bounces):
+        def sched_b(b):
+            """(npop, nleaf) bounce b executes — mirrors the production
+            dispatch below exactly."""
+            if npops:
                 w = npops[min(b, len(npops) - 1)]
-                st = make_bounce(w, default_nleaf(w, L) if mxu else 2)(b, st)
-        elif npop0 and npop0 != npop and bounces > 1:
-            b0 = make_bounce(npop0, default_nleaf(npop0, L) if mxu else 2)
-            st = b0(0, state0)
-            st = jax.lax.fori_loop(1, bounces, bounce, st)
+                return w, (default_nleaf(w, L) if mxu else 2)
+            if npop0 and npop0 != npop and bounces > 1 and b == 0:
+                return npop0, (default_nleaf(npop0, L) if mxu else 2)
+            return npop, nleaf
+
+        if counters:
+            # Instrumentation path: unroll every bounce (identical body
+            # to the fori_loop production path — unrolling is a pure
+            # schedule change) and collect each bounce's counter tuples.
+            st = state0
+            cnt_rows = []
+            for b in range(bounces):
+                st, ccnt, ocnt = make_bounce(*sched_b(b))(b, st)
+                cnt_rows.append((ccnt, ocnt))
+            r = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+            out_c = jnp.zeros((SUBLANES, LANES), jnp.int32)
+            for b, (ccnt, ocnt) in enumerate(cnt_rows):
+                for k in range(7):
+                    out_c = jnp.where((r == k) & (lane == 2 * b),
+                                      ccnt[k], out_c)
+                    out_c = jnp.where((r == k) & (lane == 2 * b + 1),
+                                      ocnt[k], out_c)
+            c_out[:, :] = out_c
         else:
-            st = jax.lax.fori_loop(0, bounces, bounce, state0)
+            bounce = make_bounce(npop, nleaf)
+            if npops:
+                st = state0
+                for b in range(bounces):
+                    w = npops[min(b, len(npops) - 1)]
+                    st = make_bounce(
+                        w, default_nleaf(w, L) if mxu else 2
+                    )(b, st)
+            elif npop0 and npop0 != npop and bounces > 1:
+                b0 = make_bounce(npop0, default_nleaf(npop0, L) if mxu else 2)
+                st = b0(0, state0)
+                st = jax.lax.fori_loop(1, bounces, bounce, st)
+            else:
+                st = jax.lax.fori_loop(0, bounces, bounce, state0)
         r_out[:, :] = st[9]
         g_out[:, :] = st[10]
         b_out[:, :] = st[11]
@@ -2690,7 +2747,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
         "npop", "nleaf", "npop0", "reverse_shadows", "npops",
-        "adaptive",
+        "adaptive", "counters",
     ),
 )
 def frame_tiles(
@@ -2699,6 +2756,7 @@ def frame_tiles(
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     npop0: int = 0, reverse_shadows: bool = True,
     npops: "tuple | None" = None, adaptive: bool = False, sph=None,
+    counters: bool = False,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2722,7 +2780,7 @@ def frame_tiles(
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
         npop0=npop0,
         reverse_shadows=reverse_shadows, npops=npops, adaptive=adaptive,
-        num_spheres=num_spheres,
+        num_spheres=num_spheres, counters=counters,
     )
     extra_in = ([sph] if num_spheres else []) + ([cmat] if mxu else [])
     extra_specs = (
@@ -2737,22 +2795,32 @@ def frame_tiles(
     block = pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    r, g, b = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
+    if counters:
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+        out_shape=out_shape,
         in_specs=_ray_specs(6) + _scene_specs(False) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights + ambient
         ] + extra_specs,
-        out_specs=[block] * 3,
+        out_specs=[block] * len(out_shape),
         scratch_shapes=scratch,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(o.x, o.y, o.z, d.x, d.y, d.z, cbox, cmeta, tri, attr, lamb, *extra_in)
-    return Vec3(r, g, b)
+    if counters:
+        # (ntiles, 7, 2*bounces): [t, k, 2b] = closest, [t, k, 2b+1] =
+        # occluded-summed-over-lights, counter k as in _run_closest_dual.
+        cnt = outs[3].reshape(ntiles, SUBLANES, LANES)[:, :7, :2 * bounces]
+        return Vec3(*outs[:3]), cnt
+    return Vec3(*outs[:3])
 
 
 def pack_spheres(ds):
