@@ -428,6 +428,124 @@ def body_rankdual(npop):
     return body
 
 
+# --------------------------------------------------------------------------
+# Extraction-strategy candidates (the measured dominant component):
+# hoist the per-child 8-sublane-slice mins out of scalar land.
+# --------------------------------------------------------------------------
+
+def _child_scalars_x2(loaded, both, npop):
+    """Two-stage grouped VECTOR reduce: (G*8,128) -> sublane-group min
+    (G,128) -> lane min (G,), then one trivial element read per child."""
+    G = npop * ARITY
+    s1 = jnp.min(both.reshape(G, SUBLANES, LANES), axis=1)   # (G, 128)
+    s2 = jnp.min(s1, axis=1)                                  # (G,)
+    out = []
+    for n in range(npop):
+        m = loaded[n][2]
+        ms = [s2[ARITY * n + k] for k in range(ARITY)]
+        es = [m[0, k] for k in range(ARITY)]
+        out.append((ms, es))
+    return out
+
+
+def body_full_x2(npop):
+    """Production visit with the X2 vector-hoisted extraction."""
+    def body(qbox, qmeta, istack, lstack, oi, inv, e):
+        loaded = []
+        for i in range(npop):
+            en = (e + 3 * i) % N_NODES
+            mn, mx = _load_node_row(qbox, en, False)
+            m = qmeta[pl.ds(en, 1), :]
+            loaded.append((mn, mx, m))
+        vs = []
+        for mn, mx, _m in loaded:
+            for k in range(ARITY):
+                lo, hi = _child_extract(mn, mx, k, False)
+                vs.append(_slab_masked(lo, hi, oi, inv, jnp.float32(T_MAX)))
+        both = jnp.concatenate(vs, axis=0)
+        sc = _child_scalars_x2(loaded, both, npop)
+        isp = jnp.int32(8)
+        lsp = jnp.int32(8)
+        chk = jnp.int32(0)
+        for n in reversed(range(npop)):
+            ms, es = sc[n]
+            ms, es = _sortn(ms, es)
+            for k in reversed(range(ARITY)):
+                ok = ms[k] < T_MAX
+                leafc = es[k] < 0
+                istack[isp] = es[k]
+                isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+                lstack[lsp] = es[k]
+                lsp = lsp + (ok & leafc).astype(jnp.int32)
+            chk = chk + es[0]
+        return e + isp + lsp + chk, jnp.float32(0.0)
+    return body
+
+
+def body_x2_nosortpush(npop):
+    """X2 extraction alone (scalars consumed by checksum)."""
+    def body(qbox, qmeta, istack, lstack, oi, inv, e):
+        loaded = []
+        for i in range(npop):
+            en = (e + 3 * i) % N_NODES
+            mn, mx = _load_node_row(qbox, en, False)
+            m = qmeta[pl.ds(en, 1), :]
+            loaded.append((mn, mx, m))
+        vs = []
+        for mn, mx, _m in loaded:
+            for k in range(ARITY):
+                lo, hi = _child_extract(mn, mx, k, False)
+                vs.append(_slab_masked(lo, hi, oi, inv, jnp.float32(T_MAX)))
+        both = jnp.concatenate(vs, axis=0)
+        sc = _child_scalars_x2(loaded, both, npop)
+        chk = jnp.int32(0)
+        acc = jnp.float32(0.0)
+        for n in range(npop):
+            ms, es = sc[n]
+            for k in range(ARITY):
+                acc = acc + ms[k]
+                chk = chk + es[k]
+        return e + chk + (acc < 0).astype(jnp.int32), jnp.float32(0.0)
+    return body
+
+
+def body_full_x4(npop):
+    """Production visit, per-child FULL vector reduce (no shared concat:
+    each child's own (8,128) plane reduced straight to a scalar)."""
+    def body(qbox, qmeta, istack, lstack, oi, inv, e):
+        loaded = []
+        for i in range(npop):
+            en = (e + 3 * i) % N_NODES
+            mn, mx = _load_node_row(qbox, en, False)
+            m = qmeta[pl.ds(en, 1), :]
+            loaded.append((mn, mx, m))
+        planes = []
+        for mn, mx, _m in loaded:
+            for k in range(ARITY):
+                lo, hi = _child_extract(mn, mx, k, False)
+                planes.append(
+                    _slab_masked(lo, hi, oi, inv, jnp.float32(T_MAX))
+                )
+        isp = jnp.int32(8)
+        lsp = jnp.int32(8)
+        chk = jnp.int32(0)
+        for n in reversed(range(npop)):
+            m = loaded[n][2]
+            ms = [jnp.min(planes[ARITY * n + k]) for k in range(ARITY)]
+            es = [m[0, k] for k in range(ARITY)]
+            ms, es = _sortn(ms, es)
+            for k in reversed(range(ARITY)):
+                ok = ms[k] < T_MAX
+                leafc = es[k] < 0
+                istack[isp] = es[k]
+                isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+                lstack[lsp] = es[k]
+                lsp = lsp + (ok & leafc).astype(jnp.int32)
+            chk = chk + es[0]
+        return e + isp + lsp + chk, jnp.float32(0.0)
+    return body
+
+
 def main():
     qbox, qmeta = _boxes()
     scene = (qbox, qmeta)
@@ -454,6 +572,12 @@ def main():
                               body_ranksel(npop), scene)
         res["rankdual"] = _run(f"W{npop} rank push, dual stacks",
                                body_rankdual(npop), scene)
+        res["full_x2"] = _run(f"W{npop} full, X2 grouped vector extract",
+                              body_full_x2(npop), scene)
+        res["x2_only"] = _run(f"W{npop} X2 extraction alone",
+                              body_x2_nosortpush(npop), scene)
+        res["full_x4"] = _run(f"W{npop} full, per-child full reduce",
+                              body_full_x4(npop), scene)
         res["components"] = {
             "sort_networks_ns": res["full"] - res["nosort"],
             "stack_pushes_ns": res["full"] - res["nopush"],
@@ -463,6 +587,8 @@ def main():
             "sel1stack_saving_ns": res["full"] - res["sel1stack"],
             "ranksel_saving_ns": res["full"] - res["ranksel"],
             "rankdual_saving_ns": res["full"] - res["rankdual"],
+            "x2_saving_ns": res["full"] - res["full_x2"],
+            "x4_saving_ns": res["full"] - res["full_x4"],
         }
         print(json.dumps(res["components"], indent=2), flush=True)
         out[f"npop{npop}"] = res

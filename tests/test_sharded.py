@@ -124,6 +124,40 @@ class TestShardedRender:
                 img, ref, atol=1e-6, rtol=0, err_msg=variant
             )
 
+    def test_streamed_sharded_matches_resident_sharded(self, tiny_scene,
+                                                       mesh):
+        """Streaming x sharding (round-4 verdict #5): HBM-streamed leaf
+        rows under shard_map must produce the bit-identical image to the
+        resident sharded render. The sharded API threads stream=True
+        (parallel/sharded.py), but the composition had coverage nowhere
+        — it is exactly the kind of interaction that only breaks when
+        composed."""
+        cfg = RenderConfig(
+            width=64, height=64, bounces=2, tile_rows=32, tile_cols=32,
+            bvh_heuristic=6,
+        )
+        pipe = pipeline.prepare(cfg, scene=tiny_scene)
+        kw = dict(
+            bounces=2, leaf_size=pipe.leaf_size,
+            stack_depth=pipe.pallas_stack_depth, variant="pallas",
+            interpret=True, dual=True, npop=pipe.npop,
+            adaptive=pipe.adaptive,
+        )
+        img_res = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.packed_dev[:4], pipe.camera(), 64, 64,
+                mesh, stream=False, **kw,
+            )
+        )
+        img_str = np.asarray(
+            sharded.render_sharded(
+                pipe.ds, pipe.packed_dev[:4], pipe.camera(), 64, 64,
+                mesh, stream=True, **kw,
+            )
+        )
+        assert img_res.std() > 0.01  # non-vacuous
+        np.testing.assert_array_equal(img_str, img_res)
+
     def test_no_fast_light_knob_respected(self, tiny_scene, mesh):
         """fast_light=False (USE_BVH_FAST_LIGHT=0 parity) must reach the
         sharded tracer instead of being silently overridden."""
