@@ -95,6 +95,17 @@ VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 # either is made consciously against the other (ADVICE r4).
 RESIDENT_ROWS_CEILING_BYTES = 126 * 1024 * 1024
 assert RESIDENT_ROWS_CEILING_BYTES >= VMEM_LIMIT_BYTES
+# SMEM mirror of the node meta table (child entries + validity): scalar
+# loads from SMEM are ~free while VMEM lane extracts are vector->scalar
+# crossings (~16 ns serialized; metrics/microbench_glue_probes.json), so
+# the dual/wide/fused kernels read child entries from this mirror when
+# the table fits. Budget measured by probe on the v5e (dragon's 464 KB
+# table compiles and runs; see round-5 commit).
+SMEM_META_LIMIT_BYTES = 512 * 1024
+
+
+def _smem_meta_fits(cmeta) -> bool:
+    return 4 * cmeta.shape[0] * cmeta.shape[1] <= SMEM_META_LIMIT_BYTES
 
 
 @dataclasses.dataclass
@@ -1101,21 +1112,40 @@ def _mxu_occl_merge(outm, blocked, max_dist2, L: int = 8):
 
 
 def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                      arity: int, compressed: bool = False):
+                      arity: int, compressed: bool = False, meta_s=None):
     """Visit the top one-or-two inner nodes; push their children.
 
     Returns updated (isp, lsp). When only one inner is pending, the second
     node's lanes are computed but masked invalid (the duplicate slab work
     is cheaper than a scalar branch on the hot path).
+
+    meta_s, when given, is the SMEM mirror of qmeta (row-major flat i32);
+    the child entries and validity flags are then SCALAR loads instead of
+    VMEM lane extracts — each lane extract is a vector->scalar crossing
+    (~16 ns serialized; 8 SMEM loads measured 12 ns total vs 142 ns for
+    the same row via lane extracts, metrics/microbench_glue_probes.json /
+    scripts/microbench_inner.py), and this visit makes 2*2*arity of them.
     """
     e1 = istack[isp - 1]
     two = isp >= 2
     e2 = istack[jnp.maximum(isp - 2, 0)]
     isp = isp - 1 - two.astype(jnp.int32)
     mn1, mx1 = _load_node_row(qbox, e1, compressed)
-    m1 = qmeta[pl.ds(e1, 1), :]
     mn2, mx2 = _load_node_row(qbox, e2, compressed)
-    m2 = qmeta[pl.ds(e2, 1), :]
+    if meta_s is None:
+        m1 = qmeta[pl.ds(e1, 1), :]
+        m2 = qmeta[pl.ds(e2, 1), :]
+        es1 = [m1[0, k] for k in range(arity)]
+        es2 = [m2[0, k] for k in range(arity)]
+        v1 = [m1[0, arity + k] for k in range(arity)]
+        v2 = [m2[0, arity + k] for k in range(arity)]
+    else:
+        stride = qmeta.shape[1]
+        b1, b2 = e1 * stride, e2 * stride
+        es1 = [meta_s[b1 + k] for k in range(arity)]
+        es2 = [meta_s[b2 + k] for k in range(arity)]
+        v1 = [meta_s[b1 + arity + k] for k in range(arity)]
+        v2 = [meta_s[b2 + arity + k] for k in range(arity)]
     vs = []
     for mn, mx in ((mn1, mx1), (mn2, mx2)):
         for k in range(arity):
@@ -1128,15 +1158,13 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
         for k in range(2 * arity)
     ]
     ms1 = [
-        jnp.where(m1[0, arity + k] > 0, ms[k], jnp.float32(T_MAX))
+        jnp.where(v1[k] > 0, ms[k], jnp.float32(T_MAX))
         for k in range(arity)
     ]
     ms2 = [
-        jnp.where(two & (m2[0, arity + k] > 0), ms[arity + k], jnp.float32(T_MAX))
+        jnp.where(two & (v2[k] > 0), ms[arity + k], jnp.float32(T_MAX))
         for k in range(arity)
     ]
-    es1 = [m1[0, k] for k in range(arity)]
-    es2 = [m2[0, k] for k in range(arity)]
     ms1, es1 = _sortn(ms1, es1)
     ms2, es2 = _sortn(ms2, es2)
     # Node 1 was nearer (top of stack): push node 2's children first so
@@ -1154,7 +1182,8 @@ def _dual_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                       npop: int, arity: int, compressed: bool = False,
-                      count_dead: bool = False, sort: bool = True):
+                      count_dead: bool = False, sort: bool = True,
+                      meta_s=None):
     """Visit the top `npop` pending inner nodes in one iteration.
 
     The wide-pop schedule: npop independent node visits share one
@@ -1169,6 +1198,10 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     count_dead=True (instrumentation only) additionally returns the number
     of REAL popped slots whose visit pushed nothing — the stale/fruitless
     visits a pop-time cull could at best skip (scripts/profile_visits.py).
+
+    meta_s: optional SMEM mirror of qmeta (see _dual_inner_visit) — child
+    entries become scalar loads instead of npop*arity vector->scalar lane
+    extracts.
     """
     null_node = jnp.int32(qbox.shape[0] - 1)
     isp0 = isp
@@ -1177,11 +1210,17 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
         slot = jnp.maximum(isp0 - 1 - i, 0)
         e = jnp.where(i < isp0, istack[slot], null_node)
         mn, mx = _load_node_row(qbox, e, compressed)
-        m = qmeta[pl.ds(e, 1), :]
-        loaded.append((mn, mx, m))
+        if meta_s is None:
+            es_n = None
+            m = qmeta[pl.ds(e, 1), :]
+        else:
+            stride = qmeta.shape[1]
+            es_n = [meta_s[e * stride + k] for k in range(arity)]
+            m = None
+        loaded.append((mn, mx, m, es_n))
     isp = jnp.maximum(isp0 - npop, 0)
     vs = []
-    for mn, mx, _m in loaded:
+    for mn, mx, _m, _e in loaded:
         for k in range(arity):
             lo, hi = _child_extract(mn, mx, k, compressed)
             vs.append(_slab_masked(lo, hi, oi, inv, t_cut))
@@ -1192,13 +1231,13 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
     # first, each node's children far-to-near, so pop i=0's nearest child
     # ends on top of the stack.
     for n in reversed(range(npop)):
-        m = loaded[n][2]
+        _mn, _mx, m, es_n = loaded[n]
         base = arity * n
         ms = [
             jnp.min(red[SUBLANES * (base + k) : SUBLANES * (base + k + 1)])
             for k in range(arity)
         ]
-        es = [m[0, k] for k in range(arity)]
+        es = es_n if es_n is not None else [m[0, k] for k in range(arity)]
         if sort:
             # Near-first pop order (children pushed far-to-near) prunes
             # later visits via t_cut. Any-hit callers may skip it: the
@@ -1224,7 +1263,8 @@ def _wide_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
 
 def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
                           isp, lsp, npop: int, arity: int,
-                          compressed: bool = False, sort: bool = True):
+                          compressed: bool = False, sort: bool = True,
+                          meta_s=None):
     """Width-switched wide pop: visit the pending inner nodes at the
     narrowest power-of-two width {2, 4, .., npop} that covers them.
 
@@ -1241,6 +1281,7 @@ def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
             return _wide_inner_visit(
                 qbox, qmeta, oi, inv, t_cut, istack, lstack,
                 args[0], args[1], n, arity, compressed, sort=sort,
+                meta_s=meta_s,
             )
         return f
 
@@ -1398,7 +1439,7 @@ def _visit_width(isp, npop: int, adaptive: bool):
 def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                       L: int, arity: int, n_attr: int, compressed: bool,
                       counters: bool = False, mxu=None, npop: int = 2,
-                      nleaf: int = 2, adaptive: bool = False):
+                      nleaf: int = 2, adaptive: bool = False, meta_s=None):
     """Full multi-pop closest-hit traversal; returns (t, idx, nd, av).
 
     Shared between the standalone closest kernels and the fused frame
@@ -1518,12 +1559,13 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             if adaptive and npop > 2:
                 isp, lsp = _adaptive_inner_visit(
                     qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                    npop, arity, compressed,
+                    npop, arity, compressed, meta_s=meta_s,
                 )
             elif npop > 2:
                 res_v = _wide_inner_visit(
                     qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
                     npop, arity, compressed, count_dead=counters,
+                    meta_s=meta_s,
                 )
                 if counters:
                     isp, lsp, dead_v = res_v
@@ -1533,7 +1575,7 @@ def _run_closest_dual(qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             else:
                 isp, lsp = _dual_inner_visit(
                     qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                    arity, compressed,
+                    arity, compressed, meta_s=meta_s,
                 )
             return (isp, lsp, t, idx, nd, av) + cnt
 
@@ -1561,7 +1603,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
                        istack, lstack, L: int, arity: int, compressed: bool,
                        counters: bool = False, mxu=None, npop: int = 2,
                        nleaf: int = 2, adaptive: bool = False,
-                       sort: bool = True):
+                       sort: bool = True, meta_s=None):
     """Full multi-pop any-hit traversal; returns blocked (i32 lanes).
 
     counters=True additionally returns (inner_iters, leaf_iters,
@@ -1649,12 +1691,13 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             if adaptive and npop > 2:
                 isp, lsp = _adaptive_inner_visit(
                     qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    npop, arity, compressed, sort=sort,
+                    npop, arity, compressed, sort=sort, meta_s=meta_s,
                 )
             elif npop > 2:
                 res_v = _wide_inner_visit(
                     qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
                     npop, arity, compressed, count_dead=counters, sort=sort,
+                    meta_s=meta_s,
                 )
                 if counters:
                     isp, lsp, dead_v = res_v
@@ -1664,7 +1707,7 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
             else:
                 isp, lsp = _dual_inner_visit(
                     qbox, qmeta, oi, inv, t_cut, istack, lstack, isp, lsp,
-                    arity, compressed,
+                    arity, compressed, meta_s=meta_s,
                 )
             return (isp, lsp, blocked, all_blocked) + cnt
 
@@ -1687,27 +1730,32 @@ def _run_occluded_dual(qbox, qmeta, tri, o, d, inv, oi, max_dist2,
 def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
                          compressed: bool = False, counters: bool = False,
                          mxu: bool = False, npop: int = 2, nleaf: int = 2,
-                         adaptive: bool = False):
+                         adaptive: bool = False, smem_meta: bool = False):
     """Multi-pop closest hit; with n_attr=12 also tracks surface attributes.
 
     mxu=True appends a cmi input after the scene arrays plus a (16, 1024)
     VMEM scratch and evaluates leaves on the MXU (see _mxu_leaf_closest_n).
-    npop/nleaf select the wide-pop schedule (_wide_inner_visit)."""
+    npop/nleaf select the wide-pop schedule (_wide_inner_visit).
+    smem_meta=True appends a flat i32 SMEM mirror of qmeta as the last
+    input; child-entry reads become scalar loads (see _dual_inner_visit)."""
 
     def kernel(*refs):
         nc = 1 if counters else 0
         nm = 1 if mxu else 0
+        ns = 1 if smem_meta else 0
         if n_attr:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri, attr) = refs[:10]
             mxu_refs = refs[10:10 + nm]
-            outs = refs[10 + nm:13 + nm + n_attr + nc]
-            scratch = refs[13 + nm + n_attr + nc:]
+            meta_s = refs[10 + nm] if smem_meta else None
+            outs = refs[10 + nm + ns:13 + nm + ns + n_attr + nc]
+            scratch = refs[13 + nm + ns + n_attr + nc:]
         else:
             (ox, oy, oz, dx, dy, dz, qbox, qmeta, tri) = refs[:9]
             attr = None
             mxu_refs = refs[9:9 + nm]
-            outs = refs[9 + nm:12 + nm + nc]
-            scratch = refs[12 + nm + nc:]
+            meta_s = refs[9 + nm] if smem_meta else None
+            outs = refs[9 + nm + ns:12 + nm + ns + nc]
+            scratch = refs[12 + nm + ns + nc:]
         istack, lstack = scratch[:2]
         t_out, idx_out, nd_out = outs[:3]
         o, d, inv, oi = _load_rays(ox, oy, oz, dx, dy, dz)
@@ -1721,7 +1769,7 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
         res = _run_closest_dual(
             qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
             L, arity, n_attr, compressed, counters=counters, mxu=mxu_args,
-            npop=npop, nleaf=nleaf, adaptive=adaptive,
+            npop=npop, nleaf=nleaf, adaptive=adaptive, meta_s=meta_s,
         )
         t, idx, nd, av = res[:4]
         t_out[:, :] = t
@@ -1743,11 +1791,16 @@ def _closest_dual_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
                           counters: bool = False, mxu: bool = False,
                           npop: int = 2, nleaf: int = 2,
-                          adaptive: bool = False, sort: bool = True):
+                          adaptive: bool = False, sort: bool = True,
+                          smem_meta: bool = False):
     def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
         cmi = None
         if mxu:
             cmi = rest[0]
+            rest = rest[1:]
+        meta_s = None
+        if smem_meta:
+            meta_s = rest[0]
             rest = rest[1:]
         out = rest[0]
         rest = rest[1:]
@@ -1764,6 +1817,7 @@ def _occluded_dual_kernel(L: int, arity: int, compressed: bool = False,
             qbox, qmeta, tri, o, d, inv, oi, m2[:, :], istack, lstack,
             L, arity, compressed, counters=counters, mxu=mxu_args,
             npop=npop, nleaf=nleaf, adaptive=adaptive, sort=sort,
+            meta_s=meta_s,
         )
         if counters:
             blocked, cnt = res
@@ -2432,7 +2486,8 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                         npops: "tuple | None" = None,
                         adaptive: bool = False,
                         num_spheres: int = 0,
-                        counters: bool = False):
+                        counters: bool = False,
+                        smem_meta: bool = False):
     """npop0, when nonzero and different from npop, unrolls bounce 0 with
     its own pop width: the coherent primary passes lose to wide pops (the
     pending-stack is usually shallower than npop, so slots pad), while
@@ -2463,11 +2518,18 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
         if mxu:
             cmi = rest[k]
             k += 1
+        else:
+            cmi = None
+        if smem_meta:
+            meta_s = rest[k]
+            k += 1
+        else:
+            meta_s = None
+        if mxu:
             outs = rest[k:k + 3 + nc]
             (istack, lstack, rsc) = rest[k + 3 + nc:]
             _rmat_init_const(rsc)
         else:
-            cmi = None
             outs = rest[k:k + 3 + nc]
             (istack, lstack) = rest[k + 3 + nc:]
         r_out, g_out, b_out = outs[:3]
@@ -2574,7 +2636,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
             res_c = _run_closest_dual(
                 qbox, qmeta, tri, attr, o, d, inv, oi, istack, lstack,
                 L, arity, 12, compressed, mxu=mxu_c, npop=npop, nleaf=nleaf,
-                adaptive=adaptive, counters=counters,
+                adaptive=adaptive, counters=counters, meta_s=meta_s,
             )
             t, _, nd, av = res_c[:4]
             ccnt = res_c[4] if counters else None
@@ -2653,7 +2715,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
                     qbox, qmeta, tri, so, sd, sinv, soi, sm2,
                     istack, lstack, L, arity, compressed, mxu=mxu_o,
                     npop=npop, nleaf=nleaf,
-                    adaptive=adaptive, counters=counters,
+                    adaptive=adaptive, counters=counters, meta_s=meta_s,
                 )
                 if counters:
                     blocked, oc = res_o
@@ -2747,7 +2809,7 @@ def _frame_fused_kernel(L: int, arity: int, bounces: int, num_lights: int,
     static_argnames=(
         "leaf_size", "bounces", "interpret", "stack_depth", "compressed",
         "npop", "nleaf", "npop0", "reverse_shadows", "npops",
-        "adaptive", "counters",
+        "adaptive", "counters", "smem_meta",
     ),
 )
 def frame_tiles(
@@ -2756,7 +2818,7 @@ def frame_tiles(
     compressed: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     npop0: int = 0, reverse_shadows: bool = True,
     npops: "tuple | None" = None, adaptive: bool = False, sph=None,
-    counters: bool = False,
+    counters: bool = False, smem_meta: "bool | None" = None,
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
@@ -2775,17 +2837,22 @@ def frame_tiles(
     num_spheres = 0 if sph is None else int(sph.shape[0])
     mxu = cmat is not None and arity >= 4 and leaf_size in (4, SUBLANES)
     assert npop in (2, 4, 8)
+    if smem_meta is None:
+        smem_meta = _smem_meta_fits(cmeta)
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
         npop0=npop0,
         reverse_shadows=reverse_shadows, npops=npops, adaptive=adaptive,
-        num_spheres=num_spheres, counters=counters,
+        num_spheres=num_spheres, counters=counters, smem_meta=smem_meta,
     )
-    extra_in = ([sph] if num_spheres else []) + ([cmat] if mxu else [])
+    extra_in = ([sph] if num_spheres else []) + ([cmat] if mxu else []) \
+        + ([cmeta.reshape(-1)] if smem_meta else [])
     extra_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] if num_spheres else []
-    ) + (_MXU_SPECS if mxu else [])
+    ) + (_MXU_SPECS if mxu else []) + (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_meta else []
+    )
     scratch = [
         pltpu.SMEM((stack_depth,), jnp.int32),
         pltpu.SMEM((stack_depth,), jnp.int32),
@@ -2908,7 +2975,7 @@ def _pad_stream_rows(a):
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "counters", "npop", "nleaf", "adaptive",
+        "stream", "counters", "npop", "nleaf", "adaptive", "smem_meta",
     ),
 )
 def closest_tiles(
@@ -2916,7 +2983,7 @@ def closest_tiles(
     stack_depth: int = STACK_DEPTH, dual: bool = False,
     compressed: bool = False, stream: bool = False, counters: bool = False,
     cmat=None, npop: int = 2, nleaf: int = 0,
-    adaptive: bool = False,
+    adaptive: bool = False, smem_meta: "bool | None" = None,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -2953,11 +3020,17 @@ def closest_tiles(
     # so streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
+    if smem_meta is None:
+        smem_meta = _smem_meta_fits(cmeta)
+    smem_meta = smem_meta and dual and arity >= 4 and not stream
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
+    if smem_meta:
+        extra_in = extra_in + [cmeta.reshape(-1)]
+        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if stream:
         tri = _pad_stream_rows(tri)
         kernel = _closest_stream_kernel(
@@ -2971,7 +3044,7 @@ def closest_tiles(
         kernel = _closest_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            adaptive=adaptive,
+            adaptive=adaptive, smem_meta=smem_meta,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -3011,7 +3084,7 @@ def closest_tiles(
     jax.jit,
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
-        "stream", "npop", "nleaf", "adaptive",
+        "stream", "npop", "nleaf", "adaptive", "smem_meta",
     ),
 )
 def closest_tiles_full(
@@ -3019,7 +3092,7 @@ def closest_tiles_full(
     interpret: bool = False, stack_depth: int = STACK_DEPTH,
     dual: bool = False, compressed: bool = False, stream: bool = False,
     cmat=None, npop: int = 2, nleaf: int = 0,
-    adaptive: bool = False,
+    adaptive: bool = False, smem_meta: "bool | None" = None,
 ) -> HitFull:
     """Closest hit + surface attributes over tiled rays (no shading gathers
     needed afterwards — see HitFull)."""
@@ -3044,11 +3117,17 @@ def closest_tiles_full(
     # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
+    if smem_meta is None:
+        smem_meta = _smem_meta_fits(cmeta)
+    smem_meta = smem_meta and dual and arity >= 4 and not stream
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
+    if smem_meta:
+        extra_in = extra_in + [cmeta.reshape(-1)]
+        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if stream:
         tri = _pad_stream_rows(tri)
         attr = _pad_stream_rows(attr)
@@ -3063,7 +3142,7 @@ def closest_tiles_full(
         kernel = _closest_dual_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, mxu=mxu,
             npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            adaptive=adaptive,
+            adaptive=adaptive, smem_meta=smem_meta,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -3104,7 +3183,7 @@ def closest_tiles_full(
     static_argnames=(
         "leaf_size", "interpret", "stack_depth", "dual", "compressed",
         "stream", "counters", "npop", "nleaf", "sort",
-        "adaptive",
+        "adaptive", "smem_meta",
     ),
 )
 def occluded_tiles(
@@ -3113,6 +3192,7 @@ def occluded_tiles(
     dual: bool = False, compressed: bool = False, stream: bool = False,
     counters: bool = False, cmat=None, npop: int = 2, nleaf: int = 0,
     adaptive: bool = False, sort: bool = True,
+    smem_meta: "bool | None" = None,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
 
@@ -3157,11 +3237,17 @@ def occluded_tiles(
     # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
+    if smem_meta is None:
+        smem_meta = _smem_meta_fits(cmeta)
+    smem_meta = smem_meta and dual and arity >= 4 and not stream
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
+    if smem_meta:
+        extra_in = extra_in + [cmeta.reshape(-1)]
+        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if stream:
         tri = _pad_stream_rows(tri)
         kernel = _occluded_stream_kernel(
@@ -3175,7 +3261,7 @@ def occluded_tiles(
         kernel = _occluded_dual_kernel(
             leaf_size, arity, compressed=compressed, counters=counters,
             mxu=mxu, npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
-            adaptive=adaptive, sort=sort,
+            adaptive=adaptive, sort=sort, smem_meta=smem_meta,
         )
         scratch = [
             pltpu.SMEM((stack_depth,), jnp.int32),

@@ -100,11 +100,13 @@ def _boxes():
     return jnp.asarray(qbox), jnp.asarray(meta)
 
 
-def _loop_kernel(body):
+def _loop_kernel(body, n_scene=2):
     """Wrap `body(qbox, qmeta, istack, lstack, oi, inv, e) -> (e, acc)`
     in a data-dependent K-loop (next node index derives from the visit)."""
 
-    def kernel(k_ref, qbox, qmeta, *rest):
+    def kernel(k_ref, *allrest):
+        scene = allrest[:n_scene]
+        rest = allrest[n_scene:]
         rays = rest[:6]
         out = rest[6]
         istack, lstack = rest[7], rest[8]
@@ -115,7 +117,7 @@ def _loop_kernel(body):
 
         def step(i, carry):
             e, acc = carry
-            e, dacc = body(qbox, qmeta, istack, lstack, oi, inv, e)
+            e, dacc = body(*scene, istack, lstack, oi, inv, e)
             e = jnp.abs(e) % N_NODES
             return e, acc + dacc
 
@@ -127,13 +129,15 @@ def _loop_kernel(body):
     return kernel
 
 
-def _run(name, body, scene, k_lo=100_000, k_hi=400_000, reps=3):
+def _run(name, body, scene, k_lo=100_000, k_hi=400_000, reps=3,
+         scene_spaces=None):
+    spaces = scene_spaces or [pltpu.VMEM] * len(scene)
     fn = pl.pallas_call(
-        _loop_kernel(body),
+        _loop_kernel(body, n_scene=len(scene)),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=sp) for sp in spaces]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         ),
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -546,16 +550,138 @@ def body_full_x4(npop):
     return body
 
 
+# --------------------------------------------------------------------------
+# Crossing-count attack probes: the extraction measurements above show the
+# dominant glue is vector->scalar CROSSING latency (hoisted reduces that
+# keep one crossing per child move nothing). These variants change the
+# NUMBER of crossings per iteration.
+# --------------------------------------------------------------------------
+
+def body_full_xs(npop):
+    """Production visit, child entries (es) read from an SMEM meta mirror
+    instead of VMEM lane extracts — halves the crossings if VMEM lane
+    reads cross and SMEM scalar loads do not."""
+    def body(qbox, qmeta, meta_s, istack, lstack, oi, inv, e):
+        loaded = []
+        ens = []
+        for i in range(npop):
+            en = (e + 3 * i) % N_NODES
+            mn, mx = _load_node_row(qbox, en, False)
+            loaded.append((mn, mx))
+            ens.append(en)
+        vs = []
+        for mn, mx in loaded:
+            for k in range(ARITY):
+                lo, hi = _child_extract(mn, mx, k, False)
+                vs.append(_slab_masked(lo, hi, oi, inv, jnp.float32(T_MAX)))
+        both = jnp.concatenate(vs, axis=0)
+        red = jnp.min(both, axis=1)
+        isp = jnp.int32(8)
+        lsp = jnp.int32(8)
+        chk = jnp.int32(0)
+        for n in reversed(range(npop)):
+            base = ARITY * n
+            ms = [
+                jnp.min(red[SUBLANES * (base + k): SUBLANES * (base + k + 1)])
+                for k in range(ARITY)
+            ]
+            es = [meta_s[ens[n] * ARITY + k] for k in range(ARITY)]
+            ms, es = _sortn(ms, es)
+            for k in reversed(range(ARITY)):
+                ok = ms[k] < T_MAX
+                leafc = es[k] < 0
+                istack[isp] = es[k]
+                isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+                lstack[lsp] = es[k]
+                lsp = lsp + (ok & leafc).astype(jnp.int32)
+            chk = chk + es[0]
+        return e + isp + lsp + chk, jnp.float32(0.0)
+    return body
+
+
+def body_xb(npop):
+    """UNSORTED visit with the per-child hit decisions packed into TWO
+    scalar crossings per ITERATION: per-child ok bits are computed in
+    vector land and summed into two 16-bit masks; the scalar side
+    unpacks each bit with shifts. es from the SMEM mirror. (Order is
+    natural, not near-first — pricing the mechanism, not the schedule.)"""
+    G = None
+
+    def body(qbox, qmeta, meta_s, istack, lstack, oi, inv, e):
+        n_child = npop * ARITY
+        loaded = []
+        ens = []
+        for i in range(npop):
+            en = (e + 3 * i) % N_NODES
+            mn, mx = _load_node_row(qbox, en, False)
+            loaded.append((mn, mx))
+            ens.append(en)
+        vs = []
+        for mn, mx in loaded:
+            for k in range(ARITY):
+                lo, hi = _child_extract(mn, mx, k, False)
+                vs.append(_slab_masked(lo, hi, oi, inv, jnp.float32(T_MAX)))
+        both = jnp.concatenate(vs, axis=0)         # (n_child*8, 128)
+        s1 = jnp.min(both.reshape(n_child, SUBLANES, LANES), axis=1)
+        okp = s1 < jnp.float32(T_MAX)              # (n_child, 128)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_child, LANES), 0)
+        w2 = jnp.int32(1) << (row % 16)
+        mp = jnp.where(okp, w2, 0)
+        m_lo = jnp.sum(jnp.max(jnp.where(row < 16, mp, 0), axis=1))
+        m_hi = jnp.sum(jnp.max(jnp.where(row >= 16, mp, 0), axis=1))
+        isp = jnp.int32(8)
+        lsp = jnp.int32(8)
+        chk = jnp.int32(0)
+        for n in reversed(range(npop)):
+            for k in reversed(range(ARITY)):
+                c = ARITY * n + k
+                src = m_lo if c < 16 else m_hi
+                ok = ((src >> (c % 16)) & 1) > 0
+                ek = meta_s[ens[n] * ARITY + k]
+                leafc = ek < 0
+                istack[isp] = ek
+                isp = isp + (ok & jnp.logical_not(leafc)).astype(jnp.int32)
+                lstack[lsp] = ek
+                lsp = lsp + (ok & leafc).astype(jnp.int32)
+            chk = chk + meta_s[ens[n] * ARITY]
+        return e + isp + lsp + chk, jnp.float32(0.0)
+    return body
+
+
 def main():
     qbox, qmeta = _boxes()
     scene = (qbox, qmeta)
+    meta_s = jnp.asarray(
+        np.asarray(qmeta)[:, :ARITY].reshape(-1).astype(np.int32)
+    )
+    scene3 = (qbox, qmeta, meta_s)
     print(f"devices: {jax.devices()}", flush=True)
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probes-only", action="store_true",
+                    help="run only the crossing-count probes (xs/xb) "
+                         "plus the full baseline")
+    args = ap.parse_args()
+
+    S3 = [pltpu.VMEM, pltpu.VMEM, pltpu.SMEM]
     out = {}
     for npop in (4, 8):
         res = {}
         res["full"] = _run(f"W{npop} full production visit",
                            body_full(npop), scene)
+        res["full_xs"] = _run(f"W{npop} full, es from SMEM mirror",
+                              body_full_xs(npop), scene3, scene_spaces=S3)
+        res["xb"] = _run(f"W{npop} packed ok-mask, SMEM es, no sort",
+                         body_xb(npop), scene3, scene_spaces=S3)
+        if args.probes_only:
+            res["components"] = {
+                "xs_saving_ns": res["full"] - res["full_xs"],
+                "xb_saving_ns": res["full"] - res["xb"],
+            }
+            print(json.dumps(res["components"], indent=2), flush=True)
+            out[f"npop{npop}"] = res
+            continue
         res["nosort"] = _run(f"W{npop} no sort network",
                              body_nosort(npop), scene)
         res["nopush"] = _run(f"W{npop} no stack pushes",
@@ -589,13 +715,17 @@ def main():
             "rankdual_saving_ns": res["full"] - res["rankdual"],
             "x2_saving_ns": res["full"] - res["full_x2"],
             "x4_saving_ns": res["full"] - res["full_x4"],
+            "xs_saving_ns": res["full"] - res["full_xs"],
+            "xb_saving_ns": res["full"] - res["xb"],
         }
         print(json.dumps(res["components"], indent=2), flush=True)
         out[f"npop{npop}"] = res
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "metrics", "microbench_glue.json",
+        "metrics",
+        "microbench_glue_probes.json" if args.probes_only
+        else "microbench_glue.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -593,3 +593,30 @@ def test_occluded_unsorted_pushes_identical(packed_scene, rays):
     b_nosort = pallas_trace.occluded_tiles(*pd, o2, d2, m2, sort=False, **kw)
     np.testing.assert_array_equal(np.asarray(b_sorted),
                                   np.asarray(b_nosort))
+
+
+@pytest.mark.parametrize("npop,adaptive", [(2, False), (8, True)])
+def test_smem_meta_mirror_identical(packed_scene, rays, npop, adaptive):
+    """The SMEM meta mirror (child entries + validity as scalar loads
+    instead of VMEM lane extracts — round 5, frame 227.5 -> 200.0 ms) is
+    a pure mechanism change: hits and occlusion must be bit-identical
+    with the mirror on and off, at both the dual-pop and the production
+    adaptive wide-pop schedules."""
+    flat, tv = packed_scene
+    packed = pallas_trace.pack_bvh4(flat, tv)
+    sd = pallas_trace.required_stack_depth(flat.depth, 4, npop=npop)
+    pd = (jnp.asarray(packed.cbox), jnp.asarray(packed.cmeta),
+          jnp.asarray(packed.tri))
+    o, d = rays
+    o2 = Vec3(*(p.reshape(8, 128) for p in o))
+    d2 = Vec3(*(p.reshape(8, 128) for p in d))
+    kw = dict(leaf_size=8, stack_depth=sd, dual=True, npop=npop,
+              adaptive=adaptive, interpret=True)
+    h_v = pallas_trace.closest_tiles(*pd, o2, d2, smem_meta=False, **kw)
+    h_s = pallas_trace.closest_tiles(*pd, o2, d2, smem_meta=True, **kw)
+    np.testing.assert_array_equal(np.asarray(h_v.t), np.asarray(h_s.t))
+    np.testing.assert_array_equal(np.asarray(h_v.idx), np.asarray(h_s.idx))
+    m2 = jnp.full((8, 128), 25.0)
+    b_v = pallas_trace.occluded_tiles(*pd, o2, d2, m2, smem_meta=False, **kw)
+    b_s = pallas_trace.occluded_tiles(*pd, o2, d2, m2, smem_meta=True, **kw)
+    np.testing.assert_array_equal(np.asarray(b_v), np.asarray(b_s))

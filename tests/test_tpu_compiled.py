@@ -105,6 +105,33 @@ def test_adaptive_pops_bit_identical_to_fixed():
     np.testing.assert_array_equal(np.asarray(b_f), np.asarray(b_a))
 
 
+def test_smem_meta_mirror_bit_identical():
+    """The SMEM meta mirror (round 5: child entries + validity flags as
+    scalar loads instead of vector->scalar lane extracts, frame
+    227.5 -> 200.0 ms) is a pure mechanism change: closest hits and
+    occlusion COMPILED with the mirror must equal the VMEM-extract
+    kernels bit for bit at the production adaptive schedule."""
+    import jax.numpy as jnp
+    from parallel_ray_tracer_tpu.ops import pallas_trace
+
+    pipe, o2, d2, rows = _small_packets()
+    cbox, cmeta, tri, attr, cmat = pipe.packed_dev[:5]
+    kw = dict(leaf_size=8, stack_depth=pipe.pallas_stack_depth, dual=True,
+              cmat=cmat, npop=8, adaptive=True)
+    h_v = pallas_trace.closest_tiles(cbox, cmeta, tri, o2, d2,
+                                     smem_meta=False, **kw)
+    h_s = pallas_trace.closest_tiles(cbox, cmeta, tri, o2, d2,
+                                     smem_meta=True, **kw)
+    np.testing.assert_array_equal(np.asarray(h_v.t), np.asarray(h_s.t))
+    np.testing.assert_array_equal(np.asarray(h_v.idx), np.asarray(h_s.idx))
+    m2 = jnp.full((rows, 128), 100.0)
+    b_v = pallas_trace.occluded_tiles(cbox, cmeta, tri, o2, d2, m2,
+                                      smem_meta=False, **kw)
+    b_s = pallas_trace.occluded_tiles(cbox, cmeta, tri, o2, d2, m2,
+                                      smem_meta=True, **kw)
+    np.testing.assert_array_equal(np.asarray(b_v), np.asarray(b_s))
+
+
 def test_bf16_pair_rows_match_f32():
     """pack_box_bf16_pairs box rows (the compiled-TPU bf16 format), on
     hardware: conservative rounding keeps culling exact, so hits are
