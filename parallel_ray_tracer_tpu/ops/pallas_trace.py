@@ -1290,7 +1290,14 @@ def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
     )
     if npop < 8:
         return f24((isp, lsp))
-    return jax.lax.cond(isp > 4, mk(8), f24, (isp, lsp))
+    if npop < 16:
+        return jax.lax.cond(isp > 4, mk(8), f24, (isp, lsp))
+    # npop=16 tier (round 5): the divergent bounces run with deep pending
+    # stacks (b3 pad fraction 4-6% at width 8 — profile_frame_fused.json)
+    # and the 16-wide visit retires ~100 ns/node vs ~120 at 8-wide
+    # (scripts/microbench_glue.py W16 probe).
+    f8 = lambda args: jax.lax.cond(args[0] > 4, mk(8), f24, args)
+    return jax.lax.cond(isp > 8, mk(16), f8, (isp, lsp))
 
 
 def _leaf_pops(lstack, lsp, nleaf: int):
@@ -1430,6 +1437,11 @@ def _visit_width(isp, npop: int, adaptive: bool):
     instrumentation; mirrors _adaptive_inner_visit's switch)."""
     if not adaptive or npop <= 2:
         return jnp.int32(max(npop, 2))
+    if npop >= 16:
+        return jnp.where(
+            isp > 8, jnp.int32(16),
+            jnp.where(isp > 4, jnp.int32(8),
+                      jnp.where(isp > 2, jnp.int32(4), jnp.int32(2))))
     if npop >= 8:
         return jnp.where(isp > 4, jnp.int32(8),
                          jnp.where(isp > 2, jnp.int32(4), jnp.int32(2)))
@@ -2836,7 +2848,7 @@ def frame_tiles(
     num_lights = int(lamb.shape[0]) - 1
     num_spheres = 0 if sph is None else int(sph.shape[0])
     mxu = cmat is not None and arity >= 4 and leaf_size in (4, SUBLANES)
-    assert npop in (2, 4, 8)
+    assert npop in (2, 4, 8, 16)
     if smem_meta is None:
         smem_meta = _smem_meta_fits(cmeta)
     kernel = _frame_fused_kernel(
@@ -3008,7 +3020,7 @@ def closest_tiles(
     assert not (counters and not stream
                 and not (dual and arity >= 4)), \
         "counters need the streamed or dual-pop kernels"
-    assert npop in (2, 4, 8) and (
+    assert npop in (2, 4, 8, 16) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
     if counters:
@@ -3110,7 +3122,7 @@ def closest_tiles_full(
     )
     assert not (compressed and arity < 4), "bf16 rows need bvh_width >= 4"
     assert not (stream and arity < 4), "streaming needs bvh_width >= 4"
-    assert npop in (2, 4, 8) and (
+    assert npop in (2, 4, 8, 16) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
     # MXU leaves need the dual-pop NON-streamed kernels (see
@@ -3221,7 +3233,7 @@ def occluded_tiles(
     assert not (counters and not stream
                 and not (dual and arity >= 4)), \
         "counters need the streamed or dual-pop kernels"
-    assert npop in (2, 4, 8) and (
+    assert npop in (2, 4, 8, 16) and (
         npop == 2 or (dual and arity >= 4)
     ), "wide-pop needs the dual-pop kernels (bvh_width >= 4)"
     # sort=False is only threaded through the wide-pop dual kernels; the
