@@ -98,10 +98,13 @@ assert RESIDENT_ROWS_CEILING_BYTES >= VMEM_LIMIT_BYTES
 # SMEM mirror of the node meta table (child entries + validity): scalar
 # loads from SMEM are ~free while VMEM lane extracts are vector->scalar
 # crossings (~16 ns serialized; metrics/microbench_glue_probes.json), so
-# the dual/wide/fused kernels read child entries from this mirror when
-# the table fits. Budget measured by probe on the v5e (dragon's 464 KB
-# table compiles and runs; see round-5 commit).
-SMEM_META_LIMIT_BYTES = 512 * 1024
+# the dual/wide/fused/streamed kernels read child entries from this
+# mirror when the table fits. Ceiling measured by probe on the v5e:
+# a 960 KB SMEM input compiles and runs, 1024 KB does not (the chip
+# holds ~1 MB of SMEM); budget leaves headroom for the traversal
+# stacks and Mosaic's own scalars. Covers scenes to ~28k BVH4 nodes
+# (dragon is 464 KB); larger tables fall back to VMEM lane extracts.
+SMEM_META_LIMIT_BYTES = 896 * 1024
 
 
 def _smem_meta_fits(cmeta) -> bool:
@@ -2038,7 +2041,8 @@ def _ring_drain(hbms, rings, sems, R, ring_b, ring_w):
 def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                            compressed: bool = False, npop: int = 2,
                            adaptive: bool = False, counters: bool = False,
-                           R: int = STREAM_RING, kpre: int = STREAM_KPRE):
+                           R: int = STREAM_RING, kpre: int = STREAM_KPRE,
+                           smem_meta: bool = False):
     """Closest hit with HBM-streamed leaf rows (block-ring-buffered).
 
     Inner visits run the production wide/adaptive pop schedule on the
@@ -2057,6 +2061,10 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
         attr = None
         if n_attr:
             attr = refs[p]
+            p += 1
+        meta_s = None
+        if smem_meta:
+            meta_s = refs[p]
             p += 1
         outs = refs[p:p + 3 + n_attr + nc]
         rest = refs[p + 3 + n_attr + nc:]
@@ -2159,17 +2167,17 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
+                        npop, arity, compressed, meta_s=meta_s,
                     )
                 elif npop > 2:
                     isp, lsp = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        npop, arity, compressed,
+                        npop, arity, compressed, meta_s=meta_s,
                     )
                 else:
                     isp, lsp = _dual_inner_visit(
                         qbox, qmeta, oi, inv, t, istack, lstack, isp, lsp,
-                        arity, compressed,
+                        arity, compressed, meta_s=meta_s,
                     )
                 ring_b, ring_w, clock = _ring_prefetch(
                     hbms, rings, sems, R, lstack, lsp, kpre,
@@ -2216,12 +2224,18 @@ def _closest_stream_kernel(L: int, arity: int, n_attr: int = 0,
 def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                             npop: int = 2, adaptive: bool = False,
                             counters: bool = False,
-                            R: int = STREAM_RING, kpre: int = STREAM_KPRE):
+                            R: int = STREAM_RING, kpre: int = STREAM_KPRE,
+                            smem_meta: bool = False):
     """Any-hit occlusion with HBM-streamed leaf rows (block-ring).
     counters as in _closest_stream_kernel."""
 
-    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, out,
-               *rest):
+    def kernel(ox, oy, oz, dx, dy, dz, m2, qbox, qmeta, tri, *rest):
+        meta_s = None
+        if smem_meta:
+            meta_s = rest[0]
+            rest = rest[1:]
+        out = rest[0]
+        rest = rest[1:]
         cnt_out = None
         if counters:
             cnt_out = rest[0]
@@ -2300,17 +2314,17 @@ def _occluded_stream_kernel(L: int, arity: int, compressed: bool = False,
                 if adaptive and npop > 2:
                     isp, lsp = _adaptive_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack,
-                        isp, lsp, npop, arity, compressed,
+                        isp, lsp, npop, arity, compressed, meta_s=meta_s,
                     )
                 elif npop > 2:
                     isp, lsp = _wide_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack,
-                        isp, lsp, npop, arity, compressed,
+                        isp, lsp, npop, arity, compressed, meta_s=meta_s,
                     )
                 else:
                     isp, lsp = _dual_inner_visit(
                         qbox, qmeta, oi, inv, t_cut, istack, lstack,
-                        isp, lsp, arity, compressed,
+                        isp, lsp, arity, compressed, meta_s=meta_s,
                     )
                 ring_b, ring_w, clock = _ring_prefetch(
                     hbms, rings, sems, R, lstack, lsp, kpre,
@@ -3034,7 +3048,7 @@ def closest_tiles(
         and leaf_size in (4, SUBLANES)
     if smem_meta is None:
         smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and dual and arity >= 4 and not stream
+    smem_meta = smem_meta and arity >= 4 and (dual or stream)
     extra_in = []
     extra_specs = []
     if mxu:
@@ -3047,7 +3061,7 @@ def closest_tiles(
         tri = _pad_stream_rows(tri)
         kernel = _closest_stream_kernel(
             leaf_size, arity, compressed=compressed, npop=npop,
-            adaptive=adaptive, counters=counters,
+            adaptive=adaptive, counters=counters, smem_meta=smem_meta,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)
@@ -3131,7 +3145,7 @@ def closest_tiles_full(
         and leaf_size in (4, SUBLANES)
     if smem_meta is None:
         smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and dual and arity >= 4 and not stream
+    smem_meta = smem_meta and arity >= 4 and (dual or stream)
     extra_in = []
     extra_specs = []
     if mxu:
@@ -3145,7 +3159,7 @@ def closest_tiles_full(
         attr = _pad_stream_rows(attr)
         kernel = _closest_stream_kernel(
             leaf_size, arity, n_attr=12, compressed=compressed, npop=npop,
-            adaptive=adaptive,
+            adaptive=adaptive, smem_meta=smem_meta,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(2)
@@ -3251,7 +3265,7 @@ def occluded_tiles(
         and leaf_size in (4, SUBLANES)
     if smem_meta is None:
         smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and dual and arity >= 4 and not stream
+    smem_meta = smem_meta and arity >= 4 and (dual or stream)
     extra_in = []
     extra_specs = []
     if mxu:
@@ -3264,7 +3278,7 @@ def occluded_tiles(
         tri = _pad_stream_rows(tri)
         kernel = _occluded_stream_kernel(
             leaf_size, arity, compressed=compressed, npop=npop,
-            adaptive=adaptive, counters=counters,
+            adaptive=adaptive, counters=counters, smem_meta=smem_meta,
         )
         scratch = (
             [pltpu.SMEM((stack_depth,), jnp.int32)] * 2 + _stream_scratch(1)

@@ -53,7 +53,11 @@ def marginal_ms(fn, k_lo=2, k_hi=6, reps=3):
 
 def main():
     report = {}
-    for n_tris in (100_000, 300_000, 1_000_000):
+    # Round 5 adds the 450k (largest resident-measurable) and 600k
+    # (half-scale streamed) points so the 1M compute floor rests on a
+    # resident-cost curve with FOUR measured points instead of a
+    # two-point extrapolation (round-4 verdict, "what's weak" #5).
+    for n_tris in (100_000, 300_000, 450_000, 600_000, 1_000_000):
         base = dict(
             width=W, height=H, synthetic_triangles=n_tris, bvh_heuristic=6,
             tile_rows=32, tile_cols=32,
@@ -112,6 +116,31 @@ def main():
             report[key][f"closest_{mode}_ms"] = ms
             report[key][f"rays_per_s_{mode}"] = n_rays / (ms / 1e3)
             print(n_tris, mode, f"{ms:.2f} ms", flush=True)
+
+    # Resident-cost curve through the measured resident points
+    # (ms ~ a * n * log2(n) + b — per-ray work scales with tree depth),
+    # evaluated at the streamed-only sizes as their compute floor.
+    import numpy as np
+
+    pts = [
+        (int(k), v["closest_resident_ms"])
+        for k, v in report.items() if "closest_resident_ms" in v
+    ]
+    if len(pts) >= 2:
+        xs = np.array([n * np.log2(n) for n, _ in pts])
+        ys = np.array([ms for _, ms in pts])
+        A = np.stack([xs, np.ones_like(xs)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, ys, rcond=None)
+        fit = {"model": "ms = a*n*log2(n) + b",
+               "a": float(coef[0]), "b": float(coef[1]),
+               "points": pts}
+        for k, v in report.items():
+            n = int(k)
+            pred = float(coef[0] * n * np.log2(n) + coef[1])
+            v["resident_floor_fit_ms"] = pred
+            if "closest_stream_ms" in v:
+                v["stream_vs_fit_floor"] = v["closest_stream_ms"] / pred
+        report["fit"] = fit
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
