@@ -107,7 +107,11 @@ def main():
         adaptive=pipe.adaptive,
     )
 
-    def chain_sharded(mesh, k: int, eps0=jnp.float32(0)):
+    def make_chain(mesh):
+        # Build the jitted chain ONCE per mesh and reuse the SAME function
+        # object across timing calls — a fresh jax.jit wrapper per call
+        # measures retrace + cache lookup instead of device time
+        # (chained-marginal methodology, bench.py).
         @functools.partial(jax.jit, static_argnames=("kk",))
         def run(eps0, kk: int):
             def body(i, eps):
@@ -120,7 +124,7 @@ def main():
 
             return jax.lax.fori_loop(0, kk, body, eps0)
 
-        return run(eps0, k)
+        return lambda k: run(jnp.float32(0), k)
 
     out = {
         "backend": jax.default_backend(),
@@ -156,7 +160,7 @@ def main():
     for n in mesh_sizes:
         mesh = sharded.make_mesh(n)
         per_frame = marginal_s(
-            lambda k: chain_sharded(mesh, k), k_lo, k_hi,
+            make_chain(mesh), k_lo, k_hi,
             reps=3 if on_tpu else 1,
         )
         rps_dev = n_rays / per_frame / n

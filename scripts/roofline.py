@@ -80,10 +80,10 @@ def main() -> None:
         passes = json.load(f)
 
     # Production full-frame measurement (bench.py; updated each round).
-    # Round 5: 200.0 ms after the SMEM meta mirror (chained marginal,
-    # /tmp A/B recorded in the round-5 commit; BENCH_r05.json is the
-    # driver's authoritative copy).
-    frame_ms = 200.0
+    # Round 5: 225.2 ms — the interleaved-median A/B with the SMEM meta
+    # mirror (DESIGN 9e records the corrected measurement; BENCH_r05.json
+    # is the driver's authoritative copy).
+    frame_ms = 225.2
 
     out = {
         "assumptions": {

@@ -598,7 +598,7 @@ def test_occluded_unsorted_pushes_identical(packed_scene, rays):
 @pytest.mark.parametrize("npop,adaptive", [(2, False), (8, True)])
 def test_smem_meta_mirror_identical(packed_scene, rays, npop, adaptive):
     """The SMEM meta mirror (child entries + validity as scalar loads
-    instead of VMEM lane extracts — round 5, frame 227.5 -> 200.0 ms) is
+    instead of VMEM lane extracts — round 5, -0.8% frame / +1.8% dragon) is
     a pure mechanism change: hits and occlusion must be bit-identical
     with the mirror on and off, at both the dual-pop and the production
     adaptive wide-pop schedules."""

@@ -107,8 +107,9 @@ def test_adaptive_pops_bit_identical_to_fixed():
 
 def test_smem_meta_mirror_bit_identical():
     """The SMEM meta mirror (round 5: child entries + validity flags as
-    scalar loads instead of vector->scalar lane extracts, frame
-    227.5 -> 200.0 ms) is a pure mechanism change: closest hits and
+    scalar loads instead of vector->scalar lane extracts; -0.8% frame,
+    +1.8% dragon by interleaved A/B) is a pure mechanism change: closest
+    hits and
     occlusion COMPILED with the mirror must equal the VMEM-extract
     kernels bit for bit at the production adaptive schedule."""
     import jax.numpy as jnp
