@@ -605,8 +605,6 @@ def body_xb(npop):
     vector land and summed into two 16-bit masks; the scalar side
     unpacks each bit with shifts. es from the SMEM mirror. (Order is
     natural, not near-first — pricing the mechanism, not the schedule.)"""
-    G = None
-
     def body(qbox, qmeta, meta_s, istack, lstack, oi, inv, e):
         n_child = npop * ARITY
         loaded = []
