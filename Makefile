@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: all native test bench sweep clean
+.PHONY: all native test tpu-test bench sweep clean
 
 all: native
 
@@ -19,12 +19,17 @@ parallel_ray_tracer_tpu/native/librtnative.so: parallel_ray_tracer_tpu/native/sr
 test: native
 	PY=$(PY) bash scripts/run_tests.sh
 
+# Hardware-gated compiled matrix + reference parity, with committed
+# evidence (metrics/tpu_matrix.json). Requires a real TPU backend.
+tpu-test: native
+	PY=$(PY) bash scripts/run_tpu_tests.sh
+
 bench: native
 	$(PY) bench.py
 
 sweep: native
 	$(PY) scripts/sweep.py
 
+# NOTE: metrics/ holds COMMITTED measurement evidence — never rm it here.
 clean:
 	rm -f parallel_ray_tracer_tpu/native/librtnative.so
-	rm -rf metrics/
