@@ -64,13 +64,24 @@ def main() -> None:
     width, height = (1920, 1080) if on_tpu else (256, 128)
     bounces = 4
 
+    # Every timed call gets a fresh jitter value: the tunnel's dispatch
+    # cache keys on (program, inputs) and SURVIVES process restarts, so
+    # identical repeated dispatches can return cached results and a
+    # zero marginal (hit in round 5; docs/DESIGN.md section 9).
+    import itertools
+
+    _jit_ctr = itertools.count(1)
+
+    def jitter():
+        return jnp.float32(next(_jit_ctr)) * 1e-7
+
     def marginal_s(fn, k_lo, k_hi, reps=3):
         def timed(k):
-            jax.block_until_ready(fn(k))  # compile + warm
+            jax.block_until_ready(fn(k, jitter()))  # compile + warm
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(k))
+                jax.block_until_ready(fn(k, jitter()))
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -117,7 +128,7 @@ def main() -> None:
             return jax.lax.fori_loop(0, k, body, eps0)
 
         frame_ms = marginal_s(
-            lambda k: chain_frame(jnp.float32(0), k), 1, 3
+            lambda k, j: chain_frame(j, k), 1, 3
         ) * 1e3
     else:
         # CPU fallback: tiny jax-variant frame, so the driver's smoke run
@@ -138,7 +149,7 @@ def main() -> None:
             return jax.lax.fori_loop(0, k, body, eps0)
 
         frame_ms = marginal_s(
-            lambda k: chain_frame(jnp.float32(0), k), 1, 2, reps=1
+            lambda k, j: chain_frame(j, k), 1, 2, reps=1
         ) * 1e3
 
     # ---- secondary: primary rays/s on the dragon-class scene ----
@@ -198,7 +209,8 @@ def main() -> None:
 
         k_lo, k_hi = (2, 8) if on_tpu else (1, 2)
         per_traversal_s = marginal_s(
-            lambda k: chained(o2.x, k), k_lo, k_hi, reps=3 if on_tpu else 1
+            lambda k, j: chained(o2.x + j, k), k_lo, k_hi,
+            reps=3 if on_tpu else 1,
         )
         rays_per_s = n_rays / per_traversal_s
     except Exception:

@@ -58,13 +58,25 @@ from parallel_ray_tracer_tpu.parallel import sharded
 from parallel_ray_tracer_tpu.ops.vecmath import Vec3
 
 
+import itertools
+
+_jit_ctr = itertools.count(1)
+
+
+def _jitter():
+    # Fresh input per timed call: the tunnel's dispatch cache survives
+    # process restarts and returns cached results for identical
+    # (program, inputs) dispatches (docs/DESIGN.md section 9).
+    return jnp.float32(next(_jit_ctr)) * 1e-7
+
+
 def marginal_s(fn, k_lo, k_hi, reps=3):
     def timed(k):
-        jax.block_until_ready(fn(k))
+        jax.block_until_ready(fn(k, _jitter()))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(k))
+            jax.block_until_ready(fn(k, _jitter()))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -124,7 +136,7 @@ def main():
 
             return jax.lax.fori_loop(0, kk, body, eps0)
 
-        return lambda k: run(jnp.float32(0), k)
+        return lambda k, j: run(j, k)
 
     out = {
         "backend": jax.default_backend(),
@@ -202,7 +214,7 @@ def main():
             return jax.lax.fori_loop(0, k, body, eps0)
 
         unsh = marginal_s(
-            lambda k: chain_unsharded(jnp.float32(0), k), k_lo, k_hi
+            lambda k, j: chain_unsharded(j, k), k_lo, k_hi
         )
         out["shard_map_tax_mesh1"] = {
             "unsharded_frame_ms": unsh * 1e3,
