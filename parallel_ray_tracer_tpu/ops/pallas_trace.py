@@ -2848,6 +2848,9 @@ def frame_tiles(
 ) -> Vec3:
     """Fused whole-frame render over tiled rays -> unclamped color planes.
 
+    smem_meta as in closest_tiles (None = auto; SMEM mirror of the node
+    meta table for every bounce's closest and occluded traversals).
+
     `lamb` is a (num_lights + 1, 8) f32 table: rows 0..L-1 hold
     (light_pos.xyz, light_kl.rgb, 0, 0); the last row holds the ambient
     color. `sph`, when given, is the (num_spheres, 16) f32 table from
@@ -3012,6 +3015,12 @@ def closest_tiles(
     adaptive: bool = False, smem_meta: "bool | None" = None,
 ):
     """Closest hit over tiled rays: planes shaped (ntiles*8, 128).
+
+    smem_meta (None = auto by table size) mirrors the node meta table
+    into SMEM so child-entry/validity reads are scalar loads instead of
+    vector->scalar lane extracts — bit-identical traversal, applied to
+    the dual/wide/adaptive AND streamed kernels when the table fits
+    SMEM_META_LIMIT_BYTES (round 5, DESIGN 9e).
 
     counters=True also returns an (ntiles, 7) int32 array per packet:
     dual path — (inner_iters, leaf_iters, pad_slots, dead_pops,
@@ -3221,6 +3230,9 @@ def occluded_tiles(
     smem_meta: "bool | None" = None,
 ):
     """Any-hit occlusion over tiled rays: planes shaped (ntiles*8, 128).
+
+    smem_meta as in closest_tiles (None = auto; SMEM mirror of the node
+    meta table, bit-identical).
 
     sort=False pushes children UNSORTED (valid for any-hit: the blocked
     result is push-order-independent). Measured both ways in round 4:

@@ -38,7 +38,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --cpu: force the hermetic CPU backend with 8 virtual devices BEFORE jax
+# initializes a backend (the container preimports jax with JAX_PLATFORMS=
+# axon, so plain env vars are ignored — same dance as tests/conftest.py).
+if "--cpu" in sys.argv:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,6 +106,9 @@ def main():
     ap.add_argument("--width", type=int, default=0,
                     help="0 = backend default (1920 TPU / 256 CPU)")
     ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="hermetic protocol validation: CPU backend, "
+                         "8 virtual devices (timing is shape-only)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -117,6 +133,8 @@ def main():
         variant=variant, compressed=pipe.compressed, dual=cfg.dual_pop,
         stream=pipe.stream, npop=pipe.npop, npop0=pipe.npop0,
         adaptive=pipe.adaptive,
+        # Pallas kernels run interpreted on the CPU protocol mesh.
+        interpret=not on_tpu,
     )
 
     def make_chain(mesh):
@@ -130,7 +148,7 @@ def main():
                 ca = (cam_arrays[0] + eps,) + cam_arrays[1:]
                 img = sharded._render_sharded(
                     pipe.ds, pipe.packed_dev, ca, W, H,
-                    mesh=mesh, interpret=False, **kern,
+                    mesh=mesh, **kern,
                 )
                 return eps + jnp.sum(img) * 1e-18
 
@@ -228,7 +246,8 @@ def main():
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "metrics", "bench_scaling.json",
+        "metrics",
+        "bench_scaling.json" if on_tpu else "bench_scaling_cpu.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
