@@ -64,29 +64,18 @@ def main() -> None:
     width, height = (1920, 1080) if on_tpu else (256, 128)
     bounces = 4
 
-    # Every timed call gets a fresh jitter value: the tunnel's dispatch
-    # cache keys on (program, inputs) and SURVIVES process restarts, so
-    # identical repeated dispatches can return cached results and a
-    # zero marginal (hit in round 5; docs/DESIGN.md section 9).
-    import itertools
+    # Shared jittered chained-marginal helper (scripts/_timing.py): every
+    # timed dispatch carries a fresh input jitter because the tunnel's
+    # dispatch cache keys on (program, inputs) and SURVIVES process
+    # restarts (docs/DESIGN.md section 9).
+    sys_path_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"
+    )
+    import sys
 
-    _jit_ctr = itertools.count(1)
-
-    def jitter():
-        return jnp.float32(next(_jit_ctr)) * 1e-7
-
-    def marginal_s(fn, k_lo, k_hi, reps=3):
-        def timed(k):
-            jax.block_until_ready(fn(k, jitter()))  # compile + warm
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(k, jitter()))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        t_lo, t_hi = timed(k_lo), timed(k_hi)
-        return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    if sys_path_dir not in sys.path:
+        sys.path.insert(0, sys_path_dir)
+    from _timing import marginal_s
 
     # ---- primary: full frame on the reference's default workload ----
     cfg = RenderConfig(

@@ -111,6 +111,32 @@ def _smem_meta_fits(cmeta) -> bool:
     return 4 * cmeta.shape[0] * cmeta.shape[1] <= SMEM_META_LIMIT_BYTES
 
 
+def _smem_meta_setup(cmeta, smem_meta, arity: int, *, dual: bool,
+                     stream: bool):
+    """Resolve the smem_meta knob for one kernel wrapper.
+
+    None = auto (on iff the flat meta table fits SMEM_META_LIMIT_BYTES
+    and a kernel family that supports the mirror is selected). An
+    EXPLICIT True past the measured budget fails loudly here instead of
+    as an opaque Mosaic SMEM allocation error. Returns
+    (smem_meta, extra_inputs, extra_specs)."""
+    if smem_meta is None:
+        smem_meta = _smem_meta_fits(cmeta)
+    elif smem_meta:
+        assert _smem_meta_fits(cmeta), (
+            f"smem_meta=True but the meta table is "
+            f"{4 * cmeta.shape[0] * cmeta.shape[1]} B > "
+            f"SMEM_META_LIMIT_BYTES ({SMEM_META_LIMIT_BYTES}); the v5e "
+            f"holds ~1 MB of SMEM (960 KB compiles, 1024 KB does not)"
+        )
+    smem_meta = bool(smem_meta) and arity >= 4 and (dual or stream)
+    if not smem_meta:
+        return False, [], []
+    return True, [cmeta.reshape(-1)], [
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+    ]
+
+
 @dataclasses.dataclass
 class PackedBVH:
     """Host-side packed arrays ready for upload."""
@@ -1295,10 +1321,13 @@ def _adaptive_inner_visit(qbox, qmeta, oi, inv, t_cut, istack, lstack,
         return f24((isp, lsp))
     if npop < 16:
         return jax.lax.cond(isp > 4, mk(8), f24, (isp, lsp))
-    # npop=16 tier (round 5): the divergent bounces run with deep pending
-    # stacks (b3 pad fraction 4-6% at width 8 — profile_frame_fused.json)
-    # and the 16-wide visit retires ~100 ns/node vs ~120 at 8-wide
-    # (scripts/microbench_glue.py W16 probe).
+    # npop=16 tier (round 5): built because the divergent bounces run
+    # deep pending stacks (b3 pad fraction 4-6% at width 8,
+    # profile_frame_fused.json) and a pinned-schedule probe retired
+    # ~100 ns/node at W16 vs ~120 at W8 — but the END-TO-END A/B
+    # REJECTED it (frame 225.1 vs 209.6 ms, dragon 154.1 vs 172.3M
+    # rays/s: real pops pad too many of 16 slots; DESIGN 9e). The tier
+    # stays available as a knob; the production default remains 8.
     f8 = lambda args: jax.lax.cond(args[0] > 4, mk(8), f24, args)
     return jax.lax.cond(isp > 8, mk(16), f8, (isp, lsp))
 
@@ -2866,8 +2895,9 @@ def frame_tiles(
     num_spheres = 0 if sph is None else int(sph.shape[0])
     mxu = cmat is not None and arity >= 4 and leaf_size in (4, SUBLANES)
     assert npop in (2, 4, 8, 16)
-    if smem_meta is None:
-        smem_meta = _smem_meta_fits(cmeta)
+    smem_meta, smem_in, smem_specs = _smem_meta_setup(
+        cmeta, smem_meta, arity, dual=True, stream=False
+    )
     kernel = _frame_fused_kernel(
         leaf_size, arity, bounces, num_lights, compressed, mxu=mxu,
         npop=npop, nleaf=nleaf or (default_nleaf(npop, leaf_size) if mxu else 2),
@@ -2876,12 +2906,10 @@ def frame_tiles(
         num_spheres=num_spheres, counters=counters, smem_meta=smem_meta,
     )
     extra_in = ([sph] if num_spheres else []) + ([cmat] if mxu else []) \
-        + ([cmeta.reshape(-1)] if smem_meta else [])
+        + smem_in
     extra_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] if num_spheres else []
-    ) + (_MXU_SPECS if mxu else []) + (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)] if smem_meta else []
-    )
+    ) + (_MXU_SPECS if mxu else []) + smem_specs
     scratch = [
         pltpu.SMEM((stack_depth,), jnp.int32),
         pltpu.SMEM((stack_depth,), jnp.int32),
@@ -3055,17 +3083,16 @@ def closest_tiles(
     # so streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
-    if smem_meta is None:
-        smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and arity >= 4 and (dual or stream)
+    smem_meta, smem_in, smem_specs = _smem_meta_setup(
+        cmeta, smem_meta, arity, dual=dual, stream=stream
+    )
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
-    if smem_meta:
-        extra_in = extra_in + [cmeta.reshape(-1)]
-        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    extra_in = extra_in + smem_in
+    extra_specs = extra_specs + smem_specs
     if stream:
         tri = _pad_stream_rows(tri)
         kernel = _closest_stream_kernel(
@@ -3152,17 +3179,16 @@ def closest_tiles_full(
     # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
-    if smem_meta is None:
-        smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and arity >= 4 and (dual or stream)
+    smem_meta, smem_in, smem_specs = _smem_meta_setup(
+        cmeta, smem_meta, arity, dual=dual, stream=stream
+    )
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
-    if smem_meta:
-        extra_in = extra_in + [cmeta.reshape(-1)]
-        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    extra_in = extra_in + smem_in
+    extra_specs = extra_specs + smem_specs
     if stream:
         tri = _pad_stream_rows(tri)
         attr = _pad_stream_rows(attr)
@@ -3275,17 +3301,16 @@ def occluded_tiles(
     # closest_tiles); streaming always uses the VPU leaf.
     mxu = cmat is not None and dual and arity >= 4 and not stream \
         and leaf_size in (4, SUBLANES)
-    if smem_meta is None:
-        smem_meta = _smem_meta_fits(cmeta)
-    smem_meta = smem_meta and arity >= 4 and (dual or stream)
+    smem_meta, smem_in, smem_specs = _smem_meta_setup(
+        cmeta, smem_meta, arity, dual=dual, stream=stream
+    )
     extra_in = []
     extra_specs = []
     if mxu:
         extra_in = [cmat]
         extra_specs = _MXU_SPECS
-    if smem_meta:
-        extra_in = extra_in + [cmeta.reshape(-1)]
-        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    extra_in = extra_in + smem_in
+    extra_specs = extra_specs + smem_specs
     if stream:
         tri = _pad_stream_rows(tri)
         kernel = _occluded_stream_kernel(

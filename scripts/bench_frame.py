@@ -15,6 +15,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -37,18 +38,11 @@ from parallel_ray_tracer_tpu.ops.vecmath import Vec3
 W, H = 1920, 1080
 
 
-def marginal_ms(fn, k_lo=1, k_hi=3, reps=3):
-    def timed(k):
-        float(fn(k))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+from _timing import marginal_ms as _marginal_ms  # noqa: E402
 
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+
+def marginal_ms(fn, k_lo=1, k_hi=3, reps=3):
+    return _marginal_ms(fn, k_lo=k_lo, k_hi=k_hi, reps=reps)
 
 
 def main():
@@ -134,7 +128,7 @@ def main():
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
 
-        ms = marginal_ms(lambda k: chain_pass(jnp.float32(0), k))
+        ms = marginal_ms(lambda k, j: chain_pass(j, k))
         report["frame_pass_ms"] = ms
         print(f"pass-based: {ms:.1f} ms", flush=True)
 
@@ -162,7 +156,7 @@ def main():
                 return eps + jnp.sum(col.x) * 1e-18
             return jax.lax.fori_loop(0, k, body, eps0)
 
-        ms = marginal_ms(lambda k: chain_fused(jnp.float32(0), k))
+        ms = marginal_ms(lambda k, j: chain_fused(j, k))
         report["frame_fused_ms"] = ms
         print(f"fused: {ms:.1f} ms", flush=True)
 

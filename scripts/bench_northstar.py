@@ -19,6 +19,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -92,7 +93,7 @@ def bench_config(scene: str, W: int, H: int, bounces: int) -> dict:
 
         return jax.lax.fori_loop(0, k, body, eps0)
 
-    ms = marginal_ms(lambda k: chain(jnp.float32(0), k))
+    ms = marginal_ms(lambda k, j: chain(j, k))
     return {
         "scene": scene, "width": W, "height": H, "bounces": bounces,
         "n_tris": pipe.scene.num_triangles,

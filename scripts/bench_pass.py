@@ -19,6 +19,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +42,11 @@ from parallel_ray_tracer_tpu.ops.vecmath import Vec3
 W, H = 1920, 1080
 
 
-def marginal_ms(fn, k_lo=2, k_hi=8, reps=3):
-    def timed(k):
-        float(fn(k))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+from _timing import marginal_ms as _marginal_ms  # noqa: E402
 
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+
+def marginal_ms(fn, k_lo=2, k_hi=8, reps=3):
+    return _marginal_ms(fn, k_lo=k_lo, k_hi=k_hi, reps=reps)
 
 
 def bounce_ray_sets(pipe, n_bounces=2):
@@ -145,7 +139,7 @@ def main():
                     help="MXU leaf evaluation (needs --dual, width >= 4)")
     ap.add_argument("--presplit", type=float, default=0.0,
                     help="pre-split ratio (e.g. 0.0625 = 1/16)")
-    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8),
+    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8, 16),
                     help="wide-pop width (inner nodes per visit)")
     ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8),
                     help="leaf groups per MXU leaf visit (0 = auto)")
@@ -212,7 +206,7 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, k, body, ox0))
 
         key = f"closest_b{b}_ms"
-        results[key] = marginal_ms(lambda k: chain_c(o2.x, k))
+        results[key] = marginal_ms(lambda k, j: chain_c(o2.x + j, k))
         print(key, f"{results[key]:.2f}", flush=True)
 
         so, sd, sm2 = shadow_rays(ds, o, d, alive, closest_fn)
@@ -249,7 +243,7 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, k, body, px0))
 
         key = f"occluded_b{b}_ms"
-        results[key] = marginal_ms(lambda k: chain_o(so2.x, k))
+        results[key] = marginal_ms(lambda k, j: chain_o(so2.x + j, k))
         print(key, f"{results[key]:.2f}", flush=True)
 
     tag = args.tag or (

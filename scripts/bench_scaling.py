@@ -37,6 +37,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # --cpu: force the hermetic CPU backend with 8 virtual devices BEFORE jax
 # initializes a backend (the container preimports jax with JAX_PLATFORMS=
@@ -71,30 +72,7 @@ from parallel_ray_tracer_tpu.parallel import sharded
 from parallel_ray_tracer_tpu.ops.vecmath import Vec3
 
 
-import itertools
-
-_jit_ctr = itertools.count(1)
-
-
-def _jitter():
-    # Fresh input per timed call: the tunnel's dispatch cache survives
-    # process restarts and returns cached results for identical
-    # (program, inputs) dispatches (docs/DESIGN.md section 9).
-    return jnp.float32(next(_jit_ctr)) * 1e-7
-
-
-def marginal_s(fn, k_lo, k_hi, reps=3):
-    def timed(k):
-        jax.block_until_ready(fn(k, _jitter()))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(k, _jitter()))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+from _timing import marginal_s  # noqa: E402  (shared jittered marginal)
 
 
 def main():
@@ -176,12 +154,17 @@ def main():
                 pipe.ds, pipe.packed_dev, cam, W, H, mesh, **kern
             )
         )
-    for n in mesh_sizes[1:]:
-        if not np.array_equal(imgs[n], imgs[mesh_sizes[0]]):
-            out["mesh_identity"] = f"MISMATCH at {n}"
-            break
+    if len(mesh_sizes) < 2:
+        # Never record a green claim for a check that could not run
+        # (the 1-chip TPU case).
+        out["mesh_identity"] = "single mesh size — identity not checkable"
     else:
-        out["mesh_identity"] = "bit-identical across mesh sizes"
+        for n in mesh_sizes[1:]:
+            if not np.array_equal(imgs[n], imgs[mesh_sizes[0]]):
+                out["mesh_identity"] = f"MISMATCH at {n}"
+                break
+        else:
+            out["mesh_identity"] = "bit-identical across mesh sizes"
     print(out["mesh_identity"], flush=True)
 
     # ---- timing sweep ----

@@ -16,6 +16,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -37,33 +38,15 @@ from parallel_ray_tracer_tpu.ops.vecmath import Vec3
 W, H = 1920, 1080
 
 
-import itertools
-
-_jit_ctr = itertools.count(1)
-
-
-def marginal_ms(fn, k_lo=2, k_hi=6, reps=3):
-    # Per-call input jitter: the tunnel dispatch cache survives process
-    # restarts and returns cached results for identical dispatches
-    # (docs/DESIGN.md section 9).
-    def timed(k):
-        float(fn(k, next(_jit_ctr) * 1e-7))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(k, next(_jit_ctr) * 1e-7))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+from _timing import marginal_ms  # noqa: E402  (shared jittered marginal)
 
 
 def main():
     report = {}
     # Round 5 adds the 450k (largest resident-measurable) and 600k
     # (half-scale streamed) points so the 1M compute floor rests on a
-    # resident-cost curve with FOUR measured points instead of a
+    # resident-cost curve fitted through THREE measured resident points
+    # (100k/300k/450k; 600k+ cannot run resident) instead of a
     # two-point extrapolation (round-4 verdict, "what's weak" #5).
     for n_tris in (100_000, 300_000, 450_000, 600_000, 1_000_000):
         base = dict(

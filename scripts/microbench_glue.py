@@ -145,14 +145,24 @@ def _run(name, body, scene, k_lo=100_000, k_hi=400_000, reps=3,
                         pltpu.SMEM((512,), jnp.int32)],
     )
     rays = _rays()
+    # Per-call jitter on a ray plane: the tunnel dispatch cache survives
+    # process restarts and returns cached results for identical
+    # dispatches (docs/DESIGN.md section 9) — without this, a re-run of
+    # the harness records zero marginals.
+    import itertools
+    ctr = itertools.count(1)
+
+    def call(k):
+        ks = jnp.asarray([k], jnp.int32)
+        j = jnp.float32(next(ctr)) * 1e-7
+        return float(fn(ks, *scene, rays[0] + j, *rays[1:])[0, 0])
 
     def timed(k):
-        ks = jnp.asarray([k], jnp.int32)
-        float(fn(ks, *scene, *rays)[0, 0])
+        call(k)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(fn(ks, *scene, *rays)[0, 0])
+            call(k)
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -83,7 +83,7 @@ _NPOP = 2  # set from args in main()
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8))
+    ap.add_argument("--pop", type=int, default=2, choices=(2, 4, 8, 16))
     ap.add_argument("--nleaf", type=int, default=0, choices=(0, 2, 4, 6, 8))
     ap.add_argument("--adaptive", action="store_true")
     ap.add_argument("--scene", default="car_boxed")
