@@ -620,3 +620,24 @@ def test_smem_meta_mirror_identical(packed_scene, rays, npop, adaptive):
     b_v = pallas_trace.occluded_tiles(*pd, o2, d2, m2, smem_meta=False, **kw)
     b_s = pallas_trace.occluded_tiles(*pd, o2, d2, m2, smem_meta=True, **kw)
     np.testing.assert_array_equal(np.asarray(b_v), np.asarray(b_s))
+
+
+def test_smem_meta_oversized_table_fails_loudly(packed_scene, rays):
+    """Explicitly forcing smem_meta=True past the measured SMEM budget
+    must fail with a named assertion (not an opaque Mosaic SMEM error
+    deep in pallas_call) — round-5 self-review finding."""
+    flat, tv = packed_scene
+    packed = pallas_trace.pack_bvh4(flat, tv)
+    sd = pallas_trace.required_stack_depth(flat.depth, 4)
+    # Oversized fake meta table: same row layout, too many rows for SMEM.
+    n_big = pallas_trace.SMEM_META_LIMIT_BYTES // (4 * 8) + 1024
+    big_meta = jnp.zeros((n_big, 8), jnp.int32)
+    o, d = rays
+    o2 = Vec3(*(p.reshape(8, 128) for p in o))
+    d2 = Vec3(*(p.reshape(8, 128) for p in d))
+    with pytest.raises(AssertionError, match="SMEM_META_LIMIT_BYTES"):
+        pallas_trace.closest_tiles(
+            jnp.asarray(packed.cbox), big_meta, jnp.asarray(packed.tri),
+            o2, d2, leaf_size=8, stack_depth=sd, dual=True,
+            smem_meta=True, interpret=True,
+        )
